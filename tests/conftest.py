@@ -10,12 +10,20 @@ import os
 import subprocess
 import sys
 
-# Must run before any jax import anywhere in the test process.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Tests always run on a virtual 8-device CPU mesh.  The container's
+# sitecustomize registers the axon TPU plugin and forces JAX_PLATFORMS=axon,
+# so override both the env and (since jax may already be imported) the
+# config value itself.
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["PALLAS_AXON_POOL_IPS"] = ""
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
         xla_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -1,0 +1,63 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh."""
+
+import jax
+import numpy as np
+import pytest
+
+import fpng_tpu as F
+from fpng_tpu import golden
+from fpng_tpu.parallel.mesh import (
+    encode_batch_sharded,
+    full_step_sharded,
+    make_mesh,
+    training_step,
+)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return make_mesh(jax.devices()[:8])
+
+
+def test_sharded_encode_matches_golden(mesh, rng):
+    imgs = np.stack([
+        rng.integers(0, 256, (16, 24, 3), dtype=np.uint8) for _ in range(8)
+    ])
+    imgs[:, 4:9] = 5
+    outs = encode_batch_sharded(mesh, imgs, 0)
+    for b in range(8):
+        want = golden.encode_image_to_memory(imgs[b], 24, 16, 3, 0)
+        assert outs[b] == want, b
+
+
+def test_training_step_psum(mesh, rng):
+    imgs = np.stack([
+        rng.integers(0, 4, (8, 8, 3), dtype=np.uint8) for _ in range(8)
+    ])
+    ghist = np.asarray(training_step(mesh, imgs, 3))
+    # equals the sum of per-image host histograms
+    want = np.zeros(288, np.int64)
+    for b in range(8):
+        filt = golden.filter_image(imgs[b])
+        h = golden.histogram_tokens(golden.tokenize_image(filt, 3))
+        h[256] = 0  # histogram_tokens forces EOB=1; device hist doesn't
+        want += h
+    got = ghist.astype(np.int64)
+    assert np.array_equal(got, want)
+
+
+def test_full_step_sharded_runs(mesh, rng):
+    imgs = np.stack([
+        rng.integers(0, 256, (8, 16, 3), dtype=np.uint8) for _ in range(16)
+    ])
+    words, total_bits, adler, ghist = full_step_sharded(mesh, imgs, 3)
+    assert np.asarray(words).shape[0] == 16
+    assert np.asarray(ghist).shape == (288,)
+
+
+def test_indivisible_batch_rejected(mesh, rng):
+    imgs = np.zeros((3, 4, 4, 3), np.uint8)
+    with pytest.raises(ValueError):
+        encode_batch_sharded(mesh, imgs, 0)

@@ -59,7 +59,11 @@ def main():
     # -- decode --
     dec_mps = None
     try:
-        from fpng_tpu.models.decoder import decode_batch as dec
+        from fpng_tpu.models import decoder as _dec_mod
+
+        if not getattr(_dec_mod, "BENCH_READY", False):
+            raise ImportError("device decoder not bench-ready yet")
+        dec = _dec_mod.decode_batch
 
         st, outs = dec(pngs, C)  # warmup
         dec_times = []

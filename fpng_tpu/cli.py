@@ -1,0 +1,305 @@
+"""fpng_tpu benchmark / test / fuzz / training CLI (fpng_test parity).
+
+Usage:  python -m fpng_tpu.cli [options] <file.png | directory | @filelist>
+
+Modes (reference flags, fpng_test.cpp:984-991):
+  (default)   roundtrip-verify + benchmark one file or a corpus
+  -s          2-pass mode (FPNG_ENCODE_SLOWER)
+  -u          force uncompressed (stored blocks)
+  -a          swizzle green into alpha (32bpp stress corpus)
+  -c          CSV output (schema mirrors fpng_test.cpp:1625-1632)
+  -e          encoder fuzz: structured corruptions of a real image
+  -E          encoder fuzz: random dims + random pixels
+  -f          decoder fuzz: decode the file, report status (zzuf-style driver)
+  -t          training mode: retrain 1-pass tables on @filelist / directory
+  -b N        device batch size (default 8)
+
+Timing is best-of-3 encode / best-of-5 decode like the reference
+(fpng_test.cpp:1181-1182); throughput in MPix/s (1024*1024 pixels).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+from . import constants as C
+
+
+def _load_source(path: str, desired: int = 4):
+    from .utils.pngreader import load_png
+
+    with open(path, "rb") as f:
+        data = f.read()
+    img, w, h, ch = load_png(data, desired)
+    return img, w, h, ch
+
+
+def _gather_files(arg: str) -> list[str]:
+    if arg.startswith("@"):
+        with open(arg[1:]) as f:
+            return [ln.strip() for ln in f if ln.strip()]
+    if os.path.isdir(arg):
+        return sorted(
+            os.path.join(arg, n) for n in os.listdir(arg)
+            if n.lower().endswith(".png"))
+    return [arg]
+
+
+def _has_alpha(rgba: np.ndarray) -> bool:
+    return bool((rgba[..., 3] != 255).any())
+
+
+def _best_of(fn, n: int) -> float:
+    best = float("inf")
+    for _ in range(n):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def bench_corpus(paths: list[str], flags: int, swizzle: bool, csv: bool,
+                 batch: int) -> int:
+    import fpng_tpu as F
+
+    MPIX = 1024.0 * 1024.0
+    total_px = 0
+    total_bytes = 0
+    enc_time = 0.0
+    dec_time = 0.0
+    rows = []
+    # group same-shape images into device batches
+    images = []
+    for p in paths:
+        try:
+            rgba, w, h, ch = _load_source(p)
+        except Exception as e:  # noqa: BLE001
+            print(f"skip {p}: {e}", file=sys.stderr)
+            continue
+        if swizzle:
+            rgba = rgba.copy()
+            rgba[..., 3] = rgba[..., 1]
+        chans = 4 if _has_alpha(rgba) else 3
+        img = rgba if chans == 4 else np.ascontiguousarray(rgba[..., :3])
+        images.append((p, img))
+
+    from collections import defaultdict
+    buckets = defaultdict(list)
+    for i, (p, img) in enumerate(images):
+        buckets[img.shape].append(i)
+
+    pngs: dict[int, bytes] = {}
+    for shape, idxs in buckets.items():
+        for s in range(0, len(idxs), batch):
+            part = idxs[s:s + batch]
+            arr = np.stack([images[i][1] for i in part])
+            F.encode_batch(arr, flags)  # warmup/compile
+            t = _best_of(lambda: F.encode_batch(arr, flags), 3)
+            out = F.encode_batch(arr, flags)
+            enc_time += t
+            for j, i in enumerate(part):
+                pngs[i] = out[j]
+
+    for shape, idxs in buckets.items():
+        for s in range(0, len(idxs), batch):
+            part = idxs[s:s + batch]
+            batch_pngs = [pngs[i] for i in part]
+            sts, outs = F.decode_batch(batch_pngs, shape[2])
+            t = _best_of(lambda: F.decode_batch(batch_pngs, shape[2]), 5)
+            dec_time += t
+            for j, i in enumerate(part):
+                if sts[j] != C.FPNG_DECODE_SUCCESS or \
+                        not np.array_equal(outs[j], images[i][1]):
+                    print(f"VERIFY FAILED: {images[i][0]}", file=sys.stderr)
+                    return 1
+
+    for i, (p, img) in enumerate(images):
+        h, w, chn = img.shape
+        total_px += w * h
+        total_bytes += len(pngs[i])
+        rows.append((p, w, h, chn, len(pngs[i])))
+
+    mp = total_px / MPIX
+    if csv:
+        # filename, w, h, chans, enc_time, size_MB, dec_time, enc_mps, dec_mps
+        for p, w, h, chn, sz in rows:
+            print(f"{p}, {w}, {h}, {chn}, {enc_time:.6f}, "
+                  f"{sz / MPIX:.6f}, {dec_time:.6f}, "
+                  f"{mp / enc_time if enc_time else 0:.3f}, "
+                  f"{mp / dec_time if dec_time else 0:.3f}")
+    else:
+        print(f"files: {len(rows)}  pixels: {mp:.2f} MPix  "
+              f"compressed: {total_bytes / MPIX:.2f} MB")
+        print(f"encode: {enc_time:.4f} s  "
+              f"{mp / enc_time if enc_time else 0:.2f} MPix/s")
+        print(f"decode: {dec_time:.4f} s  "
+              f"{mp / dec_time if dec_time else 0:.2f} MPix/s")
+    return 0
+
+
+def fuzz_encoder_structured(path: str, trials: int = 1000,
+                            seed: int = 1000) -> int:
+    """-e analog: corrupt a real image in structured ways, encode, verify
+    (fpng_test.cpp:381-615)."""
+    import fpng_tpu as F
+
+    rgba, w, h, ch = _load_source(path)
+    rng = np.random.default_rng(seed)
+    for trial in range(trials):
+        img = rgba.copy()
+        mode = trial % 5
+        n = int(rng.integers(1, 32))
+        for _ in range(n):
+            y = int(rng.integers(0, h))
+            x = int(rng.integers(0, w))
+            ln = int(rng.integers(1, max(2, w - x)))
+            if mode == 0:
+                img[y, x:x + ln] = rng.integers(0, 256, 4, dtype=np.uint8)
+            elif mode == 1:
+                img[y, x:x + ln] ^= rng.integers(0, 256, 4, dtype=np.uint8)
+            elif mode == 2:
+                img[y, x:x + ln] = int(rng.integers(0, 256))
+            elif mode == 3:
+                img.reshape(-1)[int(rng.integers(0, img.size))] ^= \
+                    1 << int(rng.integers(0, 8))
+            else:
+                img = rng.integers(0, 256, img.shape, dtype=np.uint8)
+        chans = 4 if _has_alpha(img) else 3
+        src = img if chans == 4 else np.ascontiguousarray(img[..., :3])
+        for flags in (0, C.FPNG_ENCODE_SLOWER):
+            png = F.fpng_encode_image_to_memory(src, w, h, chans, flags)
+            st, out, *_ = F.fpng_decode_memory(png, chans)
+            if st != 0 or not np.array_equal(out, src):
+                print(f"FUZZ FAIL trial {trial} flags {flags}")
+                return 1
+        if trial % 100 == 0:
+            print(f"trial {trial}", file=sys.stderr)
+    print(f"encoder fuzz: {trials} trials OK")
+    return 0
+
+
+def fuzz_encoder_random(trials: int = 1000, seed: int = 1000,
+                        max_dim: int = 257) -> int:
+    """-E analog: random dims + random pixels roundtrip
+    (fpng_test.cpp:617-682; dim cap lowered for the scalar path)."""
+    import fpng_tpu as F
+
+    rng = np.random.default_rng(seed)
+    for trial in range(trials):
+        w = int(rng.integers(1, max_dim))
+        h = int(rng.integers(1, max_dim))
+        ch = int(rng.choice([3, 4]))
+        img = rng.integers(0, 256, (h, w, ch), dtype=np.uint8)
+        if rng.random() < 0.5:  # bias toward compressible content
+            img[:: max(1, h // 3)] = img[0, 0]
+        flags = int(rng.choice([0, C.FPNG_ENCODE_SLOWER,
+                                C.FPNG_FORCE_UNCOMPRESSED]))
+        png = F.fpng_encode_image_to_memory(img, w, h, ch, flags)
+        st, out, *_ = F.fpng_decode_memory(png, ch)
+        if st != 0 or not np.array_equal(out, img):
+            print(f"FUZZ FAIL trial {trial} {w}x{h}x{ch} flags {flags}")
+            return 1
+        if trial % 100 == 0:
+            print(f"trial {trial}", file=sys.stderr)
+    print(f"random-dims fuzz: {trials} trials OK")
+    return 0
+
+
+def fuzz_decode_file(path: str) -> int:
+    """-f analog: decode one (possibly corrupted) file; never crash."""
+    import fpng_tpu as F
+
+    with open(path, "rb") as f:
+        data = f.read()
+    st, out, w, h, ch = F.fpng_decode_memory(data, 4)
+    print(f"status={st} w={w} h={h} ch={ch}")
+    if st == C.FPNG_DECODE_NOT_FPNG:
+        try:
+            from .utils.pngreader import load_png
+            img, w, h, ch = load_png(data, 4)
+            print(f"general decoder: {w}x{h} ch={ch}")
+        except Exception as e:  # noqa: BLE001
+            print(f"general decoder rejected: {e}")
+    return 0
+
+
+def train(paths: list[str]) -> int:
+    from .tables import train_tables_from_freqs
+    from .train import write_tables_artifact
+    from .tables import accumulate_image_freqs
+
+    freqs = {3: np.zeros(288, np.uint64), 4: np.zeros(288, np.uint64)}
+    counts = {3: 0, 4: 0}
+    for p in paths:
+        try:
+            rgba, w, h, ch = _load_source(p)
+        except Exception as e:  # noqa: BLE001
+            print(f"skip {p}: {e}", file=sys.stderr)
+            continue
+        chans = 4 if _has_alpha(rgba) else 3
+        img = rgba if chans == 4 else np.ascontiguousarray(rgba[..., :3])
+        accumulate_image_freqs(img, freqs[chans])
+        counts[chans] += 1
+    print(f"trained on {counts[3]} opaque / {counts[4]} alpha files")
+    for chv in (3, 4):
+        if counts[chv]:
+            art = train_tables_from_freqs(freqs[chv], chv)
+            print(f"{chv}ch prefix: {len(art[0])} bytes")
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    flags = 0
+    swizzle = csv = False
+    mode = "bench"
+    batch = 8
+    files: list[str] = []
+    it = iter(range(len(argv)))
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a == "-s":
+            flags |= C.FPNG_ENCODE_SLOWER
+        elif a == "-u":
+            flags |= C.FPNG_FORCE_UNCOMPRESSED
+        elif a == "-a":
+            swizzle = True
+        elif a == "-c":
+            csv = True
+        elif a == "-e":
+            mode = "fuzz_e"
+        elif a == "-E":
+            mode = "fuzz_E"
+        elif a == "-f":
+            mode = "fuzz_f"
+        elif a == "-t":
+            mode = "train"
+        elif a == "-b":
+            i += 1
+            batch = int(argv[i])
+        else:
+            files.append(a)
+        i += 1
+
+    if mode == "fuzz_E":
+        return fuzz_encoder_random()
+    if not files:
+        print(__doc__)
+        return 2
+    paths = [q for f in files for q in _gather_files(f)]
+    if mode == "fuzz_e":
+        return fuzz_encoder_structured(paths[0])
+    if mode == "fuzz_f":
+        return fuzz_decode_file(paths[0])
+    if mode == "train":
+        return train(paths)
+    return bench_corpus(paths, flags, swizzle, csv, batch)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

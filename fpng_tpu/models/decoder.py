@@ -17,6 +17,10 @@ from __future__ import annotations
 
 import functools
 
+# Flipped once the chunk-speculative decode path makes device decode
+# throughput competitive; bench.py gates on it.
+BENCH_READY = False
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -378,6 +378,8 @@ def decode_zlib(src: bytes, zlib_len: int, w: int, h: int,
             if sym >= 256:
                 if sym == 256:  # EOB mid-scanline
                     return None
+                if sym > 285:  # reserved length codes (RFC 1951 3.2.5)
+                    return None
                 run = int(C.LEN_BASE_BY_SYM[sym - 257])
                 nx = int(C.LEN_EXTRA_BY_SYM[sym - 257])
                 if nx:

@@ -289,6 +289,13 @@ def encode_batch_device_input(dev_imgs, images: np.ndarray,
     total_bits = np.asarray(total_bits)
     last_tok = np.asarray(last_tok)
     adler = np.asarray(adler)
+
+    from .. import runtime
+    if runtime.available():
+        pngs = runtime.assemble_batch(words, total_bits, last_tok, adler,
+                                      prefixes, W, H, Cc, budget)
+        return [p if p is not None else _stored_png(images[b])
+                for b, p in enumerate(pngs)]
     return [
         _assemble(images[b], words[b], total_bits[b], last_tok[b], adler[b],
                   budget, prefixes[b])

@@ -30,115 +30,8 @@ import pytest  # noqa: E402
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-REFERENCE_SRC = "/root/reference/src"
-_BUILD_DIR = os.path.join(os.path.dirname(__file__), "..", ".build", "ref_shim")
+from ref_oracle import REFERENCE_SRC, RefOracle, _build_ref_shim  # noqa: E402,F401
 
-
-def _build_ref_shim() -> str | None:
-    """Compile the reference fpng + lodepng into a test-oracle .so (cached)."""
-    if not os.path.isdir(REFERENCE_SRC):
-        return None
-    os.makedirs(_BUILD_DIR, exist_ok=True)
-    so = os.path.join(_BUILD_DIR, "libfpngref.so")
-    srcs = [
-        os.path.join(os.path.dirname(__file__), "ref_shim", "shim.cpp"),
-        os.path.join(REFERENCE_SRC, "fpng.cpp"),
-        os.path.join(REFERENCE_SRC, "lodepng.cpp"),
-    ]
-    if os.path.exists(so) and all(
-            os.path.getmtime(so) > os.path.getmtime(s) for s in srcs):
-        return so
-    cmd = ["g++", "-O2", "-std=c++14", "-shared", "-fPIC",
-           "-fno-strict-aliasing", "-msse4.1", "-mpclmul",
-           f"-I{REFERENCE_SRC}", *srcs, "-o", so]
-    try:
-        subprocess.run(cmd, check=True, capture_output=True)
-    except subprocess.CalledProcessError:
-        # retry without SSE (non-x86 or missing intrinsics)
-        cmd = ["g++", "-O2", "-std=c++14", "-shared", "-fPIC",
-               "-fno-strict-aliasing", "-DFPNG_NO_SSE=1",
-               f"-I{REFERENCE_SRC}", *srcs, "-o", so]
-        try:
-            subprocess.run(cmd, check=True, capture_output=True)
-        except subprocess.CalledProcessError:
-            return None
-    return so
-
-
-class RefOracle:
-    """ctypes wrapper over the compiled reference library."""
-
-    def __init__(self, path: str):
-        lib = ctypes.CDLL(path)
-        lib.ref_encode.restype = ctypes.c_int
-        lib.ref_decode.restype = ctypes.c_int
-        lib.ref_get_info.restype = ctypes.c_int
-        lib.ref_crc32.restype = ctypes.c_uint32
-        lib.ref_crc32.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
-                                  ctypes.c_uint32]
-        lib.ref_adler32.restype = ctypes.c_uint32
-        lib.ref_adler32.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
-                                    ctypes.c_uint32]
-        lib.ref_init()
-        self.lib = lib
-
-    def encode(self, img: np.ndarray, flags: int = 0) -> bytes | None:
-        h, w, c = img.shape
-        img = np.ascontiguousarray(img, dtype=np.uint8)
-        out = ctypes.POINTER(ctypes.c_uint8)()
-        out_len = ctypes.c_size_t()
-        ok = self.lib.ref_encode(
-            img.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-            w, h, c, flags, ctypes.byref(out), ctypes.byref(out_len))
-        if not ok:
-            return None
-        data = ctypes.string_at(out, out_len.value)
-        self.lib.ref_free(out)
-        return data
-
-    def decode(self, png: bytes, desired: int = 4):
-        out = ctypes.POINTER(ctypes.c_uint8)()
-        out_len = ctypes.c_size_t()
-        w = ctypes.c_uint32()
-        h = ctypes.c_uint32()
-        ch = ctypes.c_uint32()
-        st = self.lib.ref_decode(png, len(png), desired, ctypes.byref(out),
-                                 ctypes.byref(out_len), ctypes.byref(w),
-                                 ctypes.byref(h), ctypes.byref(ch))
-        img = None
-        if st == 0 and out_len.value:
-            buf = ctypes.string_at(out, out_len.value)
-            img = np.frombuffer(buf, np.uint8).reshape(
-                h.value, w.value, desired).copy()
-        self.lib.ref_free(out)
-        return st, img, w.value, h.value, ch.value
-
-    def get_info(self, png: bytes):
-        w = ctypes.c_uint32()
-        h = ctypes.c_uint32()
-        ch = ctypes.c_uint32()
-        st = self.lib.ref_get_info(png, len(png), ctypes.byref(w),
-                                   ctypes.byref(h), ctypes.byref(ch))
-        return st, w.value, h.value, ch.value
-
-    def crc32(self, data: bytes, prev: int = 0) -> int:
-        return self.lib.ref_crc32(data, len(data), prev)
-
-    def adler32(self, data: bytes, prev: int = 1) -> int:
-        return self.lib.ref_adler32(data, len(data), prev)
-
-    def lodepng_decode(self, png: bytes):
-        out = ctypes.POINTER(ctypes.c_uint8)()
-        w = ctypes.c_uint()
-        h = ctypes.c_uint()
-        err = self.lib.ref_lodepng_decode(png, len(png), ctypes.byref(out),
-                                          ctypes.byref(w), ctypes.byref(h))
-        if err:
-            return err, None, 0, 0
-        buf = ctypes.string_at(out, w.value * h.value * 4)
-        self.lib.ref_free(out)
-        img = np.frombuffer(buf, np.uint8).reshape(h.value, w.value, 4).copy()
-        return 0, img, w.value, h.value
 
 
 @pytest.fixture(scope="session")

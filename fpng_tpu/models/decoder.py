@@ -41,14 +41,22 @@ def _parse_one(png: bytes):
     native runtime (runtime/native.cpp) when available, else the Python
     twins (container.py / golden.py).
     """
+    import os
+
     from .. import runtime
     from ..container import get_info_internal
 
+    # runtime twin of the reference's FPNG_DISABLE_DECODE_CRC32_CHECKS
+    # compile-time switch (fpng.cpp:50-53), used by fuzzing drivers to let
+    # corrupted payloads reach the parser
+    check_crcs = not os.environ.get("FPNG_TPU_DISABLE_DECODE_CRC32_CHECKS")
     native = runtime.available()
     if native:
-        status, w, h, ch, idat_ofs, idat_len = runtime.get_info_internal(png)
+        status, w, h, ch, idat_ofs, idat_len = runtime.get_info_internal(
+            png, check_crcs)
     else:
-        status, w, h, ch, idat_ofs, idat_len = get_info_internal(png)
+        status, w, h, ch, idat_ofs, idat_len = get_info_internal(
+            png, check_crcs)
     if status != C.FPNG_DECODE_SUCCESS:
         return status, w, h, ch, None, 0, 0, None
     src = png[idat_ofs + 8:]

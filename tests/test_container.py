@@ -101,3 +101,24 @@ def test_double_idat_rejected(rng):
     idat_chunk = png[50:62 + idat_len]
     patched = png[:62 + idat_len] + idat_chunk + png[62 + idat_len:]
     assert F.fpng_get_info(patched)[0] == C.FPNG_DECODE_NOT_FPNG
+
+
+def test_crc_check_disable_env(monkeypatch):
+    """FPNG_TPU_DISABLE_DECODE_CRC32_CHECKS lets corrupted-CRC payloads
+    reach the parser (fuzzing aid, fpng.cpp:50-53 parity)."""
+    import numpy as np
+
+    import fpng_tpu as F
+    from fpng_tpu import constants as C
+
+    img = np.full((8, 8, 3), 7, np.uint8)
+    png = bytearray(F.encode_batch(img[None], 0)[0])
+    png[29] ^= 0xFF  # corrupt the IHDR CRC only
+    st, *_ = F.fpng_decode_memory(bytes(png), 3)
+    assert st == C.FPNG_DECODE_FAILED_HEADER_CRC32
+    monkeypatch.setenv("FPNG_TPU_DISABLE_DECODE_CRC32_CHECKS", "1")
+    st2, out, w, h, ch = F.fpng_decode_memory(bytes(png), 3)
+    assert st2 == C.FPNG_DECODE_SUCCESS
+    assert np.array_equal(out, img)
+    sts, outs = F.decode_batch([bytes(png)], 3)
+    assert sts[0] == C.FPNG_DECODE_SUCCESS

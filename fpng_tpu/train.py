@@ -104,9 +104,36 @@ def synthetic_corpus(num_chans: int, size: int = 192, count_scale: int = 1):
         yield with_alpha(rgb, alpha)
 
 
+def real_corpus(num_chans: int, size: int = 192):
+    """Tiles of the repo's real sample image (reference fixture), when
+    available: photographic statistics that synthetic classes only
+    approximate.  4ch tiles get the reference harness's green->alpha
+    swizzle (fpng_test.cpp:1147-1152) to model correlated alpha."""
+    import os
+
+    path = "/root/reference/example.png"
+    if not os.path.exists(path):
+        return
+    from .utils.pngreader import load_png
+
+    with open(path, "rb") as f:
+        rgba, w, h, _ = load_png(f.read(), 4)
+    for y0 in range(0, h - size + 1, size):
+        for x0 in range(0, w - size + 1, size):
+            tile = rgba[y0:y0 + size, x0:x0 + size]
+            if num_chans == 3:
+                yield np.ascontiguousarray(tile[..., :3])
+            else:
+                t = tile.copy()
+                t[..., 3] = t[..., 1]
+                yield t
+
+
 def train_default_tables(num_chans: int, count_scale: int = 1):
     freq = np.zeros(C.NUM_LIT_SYMS, dtype=np.uint64)
     for img in synthetic_corpus(num_chans, count_scale=count_scale):
+        accumulate_image_freqs(img, freq)
+    for img in real_corpus(num_chans):
         accumulate_image_freqs(img, freq)
     return train_tables_from_freqs(freq, num_chans)
 

@@ -1,0 +1,136 @@
+"""End-to-end verification drive on the real TPU.
+
+Encodes real image content (example.png tiles) through the batched device
+encoder in all three modes, validates every produced file with decoders
+sharing no code with this repo (python zlib + manual defilter, the compiled
+reference fpng, lodepng), round-trips through our own device decoder, and
+prints timing. Run: python .build/verify_drive.py
+"""
+
+import os
+import sys
+import time
+import zlib
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
+from ref_oracle import RefOracle, _build_ref_shim  # noqa: E402
+
+import fpng_tpu as F  # noqa: E402
+from fpng_tpu import constants as C  # noqa: E402
+
+
+def defilter_check(png: bytes, img: np.ndarray) -> bool:
+    """Fully independent reconstruction: zlib + per-row Up defilter."""
+    h, w, c = img.shape
+    # find IDAT
+    ofs = 8
+    idat = b""
+    while ofs + 8 <= len(png):
+        ln = int.from_bytes(png[ofs:ofs + 4], "big")
+        ty = png[ofs + 4:ofs + 8]
+        if ty == b"IDAT":
+            idat += png[ofs + 8:ofs + 8 + ln]
+        ofs += 12 + ln
+    raw = zlib.decompress(idat)
+    stride = 1 + w * c
+    assert len(raw) == h * stride, (len(raw), h * stride)
+    rows = np.frombuffer(raw, np.uint8).reshape(h, stride)
+    filt = rows[:, 0]
+    assert filt[0] == 0 and (filt[1:] <= 2).all()
+    out = np.zeros((h, w * c), np.uint8)
+    prev = np.zeros(w * c, np.uint8)
+    for y in range(h):
+        cur = rows[y, 1:].copy()
+        if filt[y] == 2:
+            cur = cur + prev
+        elif filt[y] != 0:
+            return False
+        out[y] = cur
+        prev = cur
+    return bool(np.array_equal(out.reshape(h, w, c), img))
+
+
+def main():
+    shim = _build_ref_shim()
+    ref = RefOracle(shim)
+    err, src, w, h = ref.lodepng_decode(
+        open("/root/reference/example.png", "rb").read())
+    assert err == 0
+
+    B, TH, TW = 8, 256, 256
+    tiles3 = np.stack([
+        np.ascontiguousarray(src[(i * 37) % (h - TH):(i * 37) % (h - TH) + TH,
+                                 (i * 53) % (w - TW):(i * 53) % (w - TW) + TW, :3])
+        for i in range(B)])
+    tiles4 = np.stack([np.dstack([t, np.full((TH, TW), 255, np.uint8)])
+                       for t in tiles3])
+    tiles4[..., 3] = tiles4[..., 1]  # correlated alpha (swizzle stress)
+
+    import jax
+    print("devices:", jax.devices())
+
+    failures = 0
+    for name, tiles, flags in [
+        ("1pass-3ch", tiles3, 0),
+        ("1pass-4ch", tiles4, 0),
+        ("2pass-3ch", tiles3, C.FPNG_ENCODE_SLOWER),
+        ("2pass-4ch", tiles4, C.FPNG_ENCODE_SLOWER),
+        ("stored-3ch", tiles3, C.FPNG_FORCE_UNCOMPRESSED),
+    ]:
+        t0 = time.perf_counter()
+        pngs = F.encode_batch(tiles, flags)
+        t1 = time.perf_counter()
+        pngs = F.encode_batch(tiles, flags)
+        t2 = time.perf_counter()
+        sizes = [len(p) for p in pngs]
+        for i, (png, img) in enumerate(zip(pngs, tiles)):
+            ok_z = defilter_check(png, img)
+            st, out, ww, hh, cc = ref.decode(png, img.shape[2])
+            ok_ref = (st == 0 and np.array_equal(
+                np.asarray(out).reshape(img.shape), img))
+            lerr, lp, lw, lh = ref.lodepng_decode(png)
+            ok_lp = lerr == 0
+            exp4 = img if img.shape[2] == 4 else np.dstack(
+                [img, np.full(img.shape[:2], 255, np.uint8)])
+            ok_lp = ok_lp and np.array_equal(lp, exp4)
+            if not (ok_z and ok_ref and ok_lp):
+                print(f"FAIL {name}[{i}]: zlib={ok_z} ref={ok_ref} lodepng={ok_lp}")
+                failures += 1
+        # reference size comparison on same tiles
+        ref_sizes = [len(ref.encode(img, flags)) for img in tiles]
+        # our device decode roundtrip
+        t3 = time.perf_counter()
+        sts, outs = F.decode_batch(pngs, tiles.shape[3])
+        t4 = time.perf_counter()
+        sts, outs = F.decode_batch(pngs, tiles.shape[3])
+        t5 = time.perf_counter()
+        for i in range(B):
+            if sts[i] != C.FPNG_DECODE_SUCCESS or not np.array_equal(
+                    outs[i], tiles[i]):
+                print(f"FAIL {name}[{i}]: self-decode status={sts[i]}")
+                failures += 1
+        mpix = B * TH * TW / 1e6
+        print(f"{name}: enc {t1-t0:.1f}s cold / {mpix/(t2-t1):.1f} MPix/s warm; "
+              f"dec {t4-t3:.1f}s cold / {mpix/(t5-t4):.1f} MPix/s warm; "
+              f"size {sum(sizes)} vs ref {sum(ref_sizes)} "
+              f"({sum(sizes)/sum(ref_sizes)*100:.2f}%)")
+
+    # negative probes
+    bad = bytearray(F.encode_batch(tiles3[:1], 0)[0])
+    bad[30] ^= 0xFF
+    st, img_, *_ = F.fpng_decode_memory(bytes(bad), 3)
+    assert st != C.FPNG_DECODE_SUCCESS, "corrupt container must not decode"
+    sts, outs = F.decode_batch([bytes(bad)], 3)
+    assert sts[0] != C.FPNG_DECODE_SUCCESS
+    print("negative probes ok")
+    print("FAILURES:", failures)
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -49,8 +49,23 @@ def fpng_init() -> None:
 
 def fpng_encode_image_to_memory(image, w: int, h: int, num_chans: int,
                                 flags: int = 0) -> bytes | None:
-    from . import golden
-    return golden.encode_image_to_memory(image, w, h, num_chans, flags)
+    """Single-image encode (fpng.h:48 parity).
+
+    Routed through the batched device pipeline (whose output is
+    byte-identical to the scalar golden model); falls back to the golden
+    model if no usable accelerator/jit path is available.
+    """
+    img = np.asarray(image, dtype=np.uint8)
+    if img.size != w * h * num_chans or num_chans not in (3, 4):
+        return None
+    img = img.reshape(h, w, num_chans)
+    try:
+        return encode_batch(img[None], flags)[0]
+    except ValueError:
+        return None
+    except Exception:  # noqa: BLE001 - no device/jit: scalar fallback
+        from . import golden
+        return golden.encode_image_to_memory(image, w, h, num_chans, flags)
 
 
 def fpng_encode_image_to_file(filename: str, image, w: int, h: int,
@@ -64,9 +79,22 @@ def fpng_encode_image_to_file(filename: str, image, w: int, h: int,
 
 
 def fpng_decode_memory(data: bytes, desired_channels: int = 4):
-    """(status, image (h,w,desired) | None, w, h, channels_in_file)."""
-    from . import golden
-    return golden.decode_memory(data, desired_channels)
+    """(status, image (h,w,desired) | None, w, h, channels_in_file).
+
+    Routed through the batched device decoder; falls back to the scalar
+    golden model when no jit path is available.
+    """
+    from .container import get_info_internal
+
+    if not data or desired_channels not in (3, 4):
+        return FPNG_DECODE_INVALID_ARG, None, 0, 0, 0
+    try:
+        statuses, images = decode_batch([bytes(data)], desired_channels)
+    except Exception:  # noqa: BLE001 - no device/jit: scalar fallback
+        from . import golden
+        return golden.decode_memory(data, desired_channels)
+    status, w, h, ch, _, _ = get_info_internal(bytes(data), False)
+    return statuses[0], images[0], w, h, ch
 
 
 def fpng_decode_file(filename: str, desired_channels: int = 4):

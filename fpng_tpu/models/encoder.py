@@ -32,10 +32,11 @@ from ..ops.lookup import take_codes_sizes, take_small
 from ..ops.tokenize import match_fields
 from ..ops.bitpack import deposit_bits, exclusive_offsets
 
-_LEN_SYM = jnp.asarray(C.LEN_SYM, jnp.int32)
-_LEN_EXTRA = jnp.asarray(C.LEN_EXTRA, jnp.int32)
-# (1, 256, 2) const planes for the length-symbol tables (one-hot lookup)
-_LEN_TAB = jnp.stack([_LEN_SYM, _LEN_EXTRA], axis=1)[None]
+# (1, 256, 2) const planes for the length-symbol tables (one-hot lookup).
+# Kept as numpy: a module-level jnp constant gets cached against its first
+# jit trace and later leaks that trace's tracer into shard_map regions.
+_LEN_TAB = np.stack([np.asarray(C.LEN_SYM, np.int32),
+                     np.asarray(C.LEN_EXTRA, np.int32)], axis=1)[None]
 
 
 def _len_sym_extra(adj, B):

@@ -69,6 +69,59 @@ def training_step(mesh: Mesh, imgs, num_chans: int, axis: str = "dp"):
     return fn(imgs)
 
 
+def decode_batch_sharded(mesh: Mesh, pngs: list, h: int, w: int, ch: int,
+                         axis: str = "dp"):
+    """dp-sharded device decode of same-shape dynamic-block fpng files.
+
+    The XLA program is the same one decode_batch runs per shape group
+    (models/decoder.py:124-160); sharding the batch axis makes XLA
+    partition it over the mesh — per-image independence means no hot-path
+    collectives (SURVEY.md §2.3).  Returns (imgs (B,h,w,ch) u8, ok (B,)).
+    """
+    from ..models.decoder import _parse_one
+    from ..ops.bitpack import is_tpu_backend
+    from ..ops.specdec import decode_kernel, pack_lut, plan_chunks
+    from ..ops.specdec_tpu import decode_kernel_tpu, plan_tpu
+
+    B = len(pngs)
+    ndev = mesh.devices.size
+    if B % ndev:
+        raise ValueError(f"batch {B} not divisible by mesh size {ndev}")
+    metas = [_parse_one(p) for p in pngs]
+    for status, mw, mh, mc, src, p0b, zlen, lut in metas:
+        if status != 0 or lut is None or (mw, mh, mc) != (w, h, ch):
+            raise ValueError("decode_batch_sharded needs uniform dynamic-"
+                             "block fpng files")
+    max_len = max(len(m[4]) for m in metas)
+    nb = 64
+    while nb < max_len:
+        nb *= 2
+    stream = np.zeros((B, nb), np.uint8)
+    luts = np.zeros((B, 4096), np.uint32)
+    p0 = np.zeros(B, np.int32)
+    zl = np.zeros(B, np.int32)
+    for j, m in enumerate(metas):
+        _, _, _, _, src, p, zlib_len, lut = m
+        stream[j, :len(src)] = np.frombuffer(src, np.uint8)
+        luts[j] = pack_lut(lut)
+        p0[j] = p
+        zl[j] = zlib_len
+    sh = lambda a: shard_batch(mesh, a, axis)  # noqa: E731
+    if is_tpu_backend():
+        zb = 64
+        while zb < int(zl.max()):
+            zb *= 2
+        imgs, ok = decode_kernel_tpu(
+            sh(stream), sh(luts), sh(p0), sh(zl), h=h, w=w, c=ch,
+            nc_pad=plan_tpu(min(zb, nb)))
+    else:
+        s_bits, n_chunks, max_steps = plan_chunks(nb)
+        imgs, ok, _ = decode_kernel(
+            sh(stream), sh(luts), sh(p0), sh(zl), h=h, w=w, c=ch,
+            n_chunks=n_chunks, chunk_bits=s_bits, max_steps=max_steps)
+    return imgs, ok
+
+
 @functools.partial(jax.jit, static_argnames=("num_chans", "num_words"))
 def _encode_step_for_dryrun(imgs, codes, sizes, base_bits, pend_val, pend_n,
                             *, num_chans, num_words):

@@ -7,6 +7,7 @@ import pytest
 import fpng_tpu as F
 from fpng_tpu import golden
 from fpng_tpu.parallel.mesh import (
+    decode_batch_sharded,
     encode_batch_sharded,
     full_step_sharded,
     make_mesh,
@@ -55,6 +56,25 @@ def test_full_step_sharded_runs(mesh, rng):
     words, total_bits, adler, ghist = full_step_sharded(mesh, imgs, 3)
     assert np.asarray(words).shape[0] == 16
     assert np.asarray(ghist).shape == (288,)
+
+
+def test_sharded_decode_roundtrip(mesh, rng):
+    imgs = np.stack([
+        rng.integers(0, 8, (12, 20, 3), dtype=np.uint8) for _ in range(8)
+    ])
+    imgs[:, 3:7] = 2
+    pngs = F.encode_batch(imgs)
+    dec, ok = decode_batch_sharded(mesh, pngs, 12, 20, 3)
+    assert np.asarray(ok).all()
+    assert np.array_equal(np.asarray(dec), imgs)
+
+
+def test_dryrun_multichip_inprocess(mesh):
+    # pytest already provisions 8 virtual devices: exercises the
+    # in-process branch of the driver entry point
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)
 
 
 def test_indivisible_batch_rejected(mesh, rng):

@@ -186,7 +186,12 @@ def main():
         "vs_baseline": round(agg / base, 3),
         "detail": {"encode_mps": round(enc_mps, 2),
                    "decode_mps": round(dec_mps, 2),
-                   "corpus": f"{B}x{H}x{W}x{C}"},
+                   "corpus": f"{B}x{H}x{W}x{C}",
+                   "methodology": (
+                       "device-resident kernel timing (host container "
+                       "assembly/parse and H2D/D2H transfer excluded); "
+                       "baseline is the reference's end-to-end single-core "
+                       "MPix/s")},
     }))
 
 

@@ -84,16 +84,16 @@ def fpng_decode_memory(data: bytes, desired_channels: int = 4):
     Routed through the batched device decoder; falls back to the scalar
     golden model when no jit path is available.
     """
-    from .container import get_info_internal
-
     if not data or desired_channels not in (3, 4):
         return FPNG_DECODE_INVALID_ARG, None, 0, 0, 0
     try:
-        statuses, images = decode_batch([bytes(data)], desired_channels)
+        from .models.decoder import decode_batch as _impl
+        statuses, images, infos = _impl([bytes(data)], desired_channels,
+                                        with_info=True)
     except Exception:  # noqa: BLE001 - no device/jit: scalar fallback
         from . import golden
         return golden.decode_memory(data, desired_channels)
-    status, w, h, ch, _, _ = get_info_internal(bytes(data), False)
+    w, h, ch = infos[0]
     return statuses[0], images[0], w, h, ch
 
 

@@ -112,9 +112,3 @@ for _l in range(3, 259):
     if LEN_BASE_BY_SYM[_s] == 0:
         LEN_BASE_BY_SYM[_s] = _l
     LEN_EXTRA_BY_SYM[_s] = int(LEN_EXTRA[_l - 3])
-
-# Bits consumed by one match token *after* the length code itself:
-# length-extra bits plus the 1-bit distance code plus the distance extra bits.
-def match_trailing_bits(num_chans: int) -> np.ndarray:
-    """Per length-symbol-index trailing bit count (32-entry table)."""
-    return LEN_EXTRA_BY_SYM + 1 + DIST_EXTRA_BITS[num_chans]

@@ -87,11 +87,14 @@ def _parse_one(png: bytes):
             lut)
 
 
-def decode_batch(pngs: list[bytes], desired_channels: int = 4):
+def decode_batch(pngs: list[bytes], desired_channels: int = 4,
+                 with_info: bool = False):
     """Decode a batch of fpng PNGs on device.
 
     Returns (statuses, images): statuses is a list of FPNG_DECODE_* codes;
-    images a list of (h, w, desired) uint8 arrays (None on failure).
+    images a list of (h, w, desired) uint8 arrays (None on failure).  With
+    with_info=True also returns infos, a list of (w, h, channels_in_file)
+    as captured by the container parse (respecting the CRC-check setting).
     All dynamic-block files sharing the batch's (h, w, ch) shape go through
     one device program; odd shapes and stored-block files fall back to the
     scalar path.
@@ -102,6 +105,8 @@ def decode_batch(pngs: list[bytes], desired_channels: int = 4):
     statuses = [C.FPNG_DECODE_INVALID_ARG] * n
     images: list = [None] * n
     if desired_channels not in (3, 4):
+        if with_info:
+            return statuses, images, [(0, 0, 0)] * n
         return statuses, images
 
     metas = [_parse_one(p) for p in pngs]
@@ -178,4 +183,6 @@ def decode_batch(pngs: list[bytes], desired_channels: int = 4):
                     images[i] = convert_channels(img, desired_channels)
             else:
                 statuses[i] = C.FPNG_DECODE_NOT_FPNG
+    if with_info:
+        return statuses, images, [(m[1], m[2], m[3]) for m in metas]
     return statuses, images

@@ -27,40 +27,120 @@ import numpy as np
 
 from .. import constants as C
 from ..ops.checksum import adler32_bytes
+from ..ops.encfuse import (DESC_EXTRA_N_SHIFT, DESC_EXTRA_VAL_SHIFT,
+                           DESC_TOK_START, DESC_USE_TABLE, demote_mask_tpu,
+                           encode_bits_fused, materialize_units, pack_table)
 from ..ops.filter import filter_deltas
-from ..ops.lookup import take_codes_sizes, take_small
 from ..ops.tokenize import match_fields
-from ..ops.bitpack import deposit_bits, exclusive_offsets
-
-# (1, 256, 2) const planes for the length-symbol tables (one-hot lookup).
-# Kept as numpy: a module-level jnp constant gets cached against its first
-# jit trace and later leaks that trace's tracer into shard_map regions.
-_LEN_TAB = np.stack([np.asarray(C.LEN_SYM, np.int32),
-                     np.asarray(C.LEN_EXTRA, np.int32)], axis=1)[None]
+from ..ops.bitpack import exclusive_offsets, is_tpu_backend, scatter_bits
 
 
-def _len_sym_extra(adj, B):
-    """LEN_SYM/LEN_EXTRA[adj] without XLA gathers (adj: (B, H, W))."""
-    r = take_small(jnp.broadcast_to(_LEN_TAB, (B, 256, 2)),
-                   adj.reshape(B, -1), 2)
-    return (r[..., 0].reshape(adj.shape), r[..., 1].reshape(adj.shape))
+def _len_sym_extra(adj):
+    """Deflate length symbol + extra-bit count from adj = length - 3.
 
-
-def _masked_hist(oh, masks):
-    """Per-image histograms: sum one-hot rows under masks.
-
-    oh: (B, N, 288) bf16 one-hot; masks: list of (B, N) weights.
-    Exact: counts < 2^24 accumulate in f32.
+    Pure arithmetic (RFC 1951 3.2.5 structure: symbol groups of 4 double
+    their extra bits every group) - no table, so it fuses into the desc
+    prologue instead of costing an O(N) lookup.
     """
-    m = jnp.stack([mk.astype(jnp.bfloat16) for mk in masks], axis=1)
-    r = jax.lax.dot_general(m, oh, (((2,), (1,)), ((0,), (0,))),
-                            preferred_element_type=jnp.float32)
-    return r.astype(jnp.int32)  # (B, len(masks), 288)
+    l = adj  # 0..255
+    hb = ((l >= 2).astype(jnp.int32) + (l >= 4) + (l >= 8) + (l >= 16) +
+          (l >= 32) + (l >= 64) + (l >= 128))  # floor(log2(l)) for l >= 1
+    e = jnp.maximum(hb - 2, 0)
+    base_l = jnp.left_shift(1, jnp.maximum(e + 2, 3))  # 8 << (e-1), e >= 1
+    sym = jnp.where(e == 0, 257 + l,
+                    261 + 4 * e + jnp.right_shift(l - base_l, e))
+    sym = jnp.where(l == 255, 285, sym)  # length 258: own symbol, 0 extra
+    e = jnp.where(l == 255, 0, e)
+    return sym, e
+
+
+def _sym_hist(syms, mask):
+    """Per-image masked histogram of syms (B, N) int32 -> (B, 288) int32.
+
+    MXU path: one-hot x mask matmul with f32 accumulation — exact while
+    per-symbol counts stay below 2^24, guaranteed by N < 2^24.  Larger
+    images (W*H*C can reach 2^32) switch to an exact int32 scatter-add so
+    2-pass table construction never silently diverges from the reference.
+    """
+    B, N = syms.shape
+    if N < (1 << 24):
+        oh = jax.nn.one_hot(syms, C.NUM_LIT_SYMS, dtype=jnp.bfloat16)
+        m = mask.astype(jnp.bfloat16)[:, None, :]
+        r = jax.lax.dot_general(m, oh, (((2,), (1,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32)
+        return r[:, 0].astype(jnp.int32)
+    bidx = jnp.broadcast_to(
+        jnp.arange(B, dtype=jnp.int32)[:, None], syms.shape)
+    return jnp.zeros((B, C.NUM_LIT_SYMS), jnp.int32).at[bidx, syms].add(
+        mask.astype(jnp.int32))
 
 
 def _budget(h: int, w: int, c: int) -> int:
     """Reference output-buffer budget for the deflate stream."""
     return ((58 + (w * c + 1) * h + 7) & ~7) - 58
+
+
+def build_desc(imgs, codes, sizes, pend_val, pend_n, *, num_chans: int,
+               cost_check: bool, force_xla_demote: bool = False):
+    """Token-assembly prologue: images -> per-unit descriptor stream.
+
+    Returns (desc (B, N) int32, tbl (B, 8, 128) int32, deltas, lit_pixel,
+    mstart, len_sym) - the last four feed the adler/hist epilogues.  The
+    desc layout is documented in ops/encfuse.py; the stream order is
+    [pending-tail, per row: filter byte + W*C byte units, EOB], identical
+    to the reference's emit order (fpng.cpp:1163-1265).
+    """
+    B, H, W, Cc = imgs.shape
+    assert Cc == num_chans
+    deltas = filter_deltas(imgs)
+    eq, mstart, mlen_px = match_fields(deltas, num_chans)
+    d32 = deltas.astype(jnp.int32)
+
+    mlen_bytes = mlen_px * Cc
+    adj = jnp.where(mstart, mlen_bytes - 3, 0)
+    len_sym, len_extra = _len_sym_extra(adj)  # (B, H, W)
+    tbl = pack_table(codes, sizes)
+
+    if cost_check:
+        # 32bpp 1-pass: single-pixel matches become literals when strictly
+        # cheaper (fpng.cpp:1520-1528).
+        cand = mstart & (mlen_px == 1)
+        if is_tpu_backend() and not force_xla_demote:
+            demote = demote_mask_tpu(deltas, len_sym, len_extra, cand, tbl)
+        else:
+            lit_sz = jnp.take_along_axis(
+                sizes, d32.reshape(B, -1), axis=1).reshape(B, H, W, Cc)
+            msz = jnp.take_along_axis(
+                sizes, len_sym.reshape(B, -1), axis=1).reshape(B, H, W)
+            demote = cand & (msz + len_extra + 1 > lit_sz.sum(axis=-1))
+        mstart = mstart & ~demote
+        lit_pixel = ~eq | demote
+    else:
+        lit_pixel = ~eq
+
+    # --- per-byte unit descriptors (see ops/encfuse.py for the layout) ----
+    k0 = jnp.zeros((B, H, W, Cc), bool).at[:, :, :, 0].set(True)
+    lit_desc = (d32 | DESC_USE_TABLE |
+                jnp.where(k0, DESC_TOK_START, 0))
+    m_desc = (len_sym | DESC_USE_TABLE | DESC_TOK_START |
+              ((len_extra + 1) << DESC_EXTRA_N_SHIFT) |
+              ((adj & ((1 << len_extra) - 1)) << DESC_EXTRA_VAL_SHIFT))
+    unit_desc = jnp.where(
+        lit_pixel[..., None], lit_desc,
+        jnp.where(mstart[..., None] & k0, m_desc[..., None], 0))
+
+    # filter-byte units: literal 0 for row 0, 2 for the rest (no tok flag:
+    # the reference's flush rule checks at pixel-token granularity)
+    fvals = jnp.where(jnp.arange(H, dtype=jnp.int32) > 0, 2, 0)  # (H,)
+    f_desc = jnp.broadcast_to((fvals | DESC_USE_TABLE)[None, :], (B, H))
+    row_desc = jnp.concatenate(
+        [f_desc[:, :, None], unit_desc.reshape(B, H, W * Cc)], axis=2)
+    pend_desc = ((pend_n.astype(jnp.int32) << DESC_EXTRA_N_SHIFT) |
+                 (pend_val.astype(jnp.int32) << DESC_EXTRA_VAL_SHIFT))
+    eob_desc = jnp.full((B, 1), 256 | DESC_USE_TABLE, jnp.int32)
+    desc = jnp.concatenate(
+        [pend_desc[:, None], row_desc.reshape(B, -1), eob_desc], axis=1)
+    return desc, tbl, deltas, lit_pixel, mstart, len_sym
 
 
 @functools.partial(
@@ -78,78 +158,20 @@ def encode_kernel(imgs, codes, sizes, base_bits, pend_val, pend_n, *,
     Returns (words, total_bits, last_token_start, adler, hist).
     """
     B, H, W, Cc = imgs.shape
-    assert Cc == num_chans
-    deltas = filter_deltas(imgs)
-    eq, mstart, mlen_px = match_fields(deltas, num_chans)
+    desc, tbl, deltas, lit_pixel, mstart, len_sym = build_desc(
+        imgs, codes, sizes, pend_val, pend_n, num_chans=num_chans,
+        cost_check=cost_check)
+    fvals = jnp.where(jnp.arange(H, dtype=jnp.int32) > 0, 2, 0)
 
-    d32 = deltas.astype(jnp.int32)
-    flat_d = d32.reshape(B, H * W * Cc)
-    lit_c, lit_s = take_codes_sizes(codes, sizes, flat_d)
-    lit_sz = lit_s.reshape(B, H, W, Cc)
-    lit_cd = lit_c.reshape(B, H, W, Cc)
-
-    mlen_bytes = mlen_px * Cc
-    adj = jnp.where(mstart, mlen_bytes - 3, 0)
-    len_sym, len_extra = _len_sym_extra(adj, B)  # (B, H, W)
-    msym_c, msym_s = take_codes_sizes(codes, sizes, len_sym.reshape(B, -1))
-    msym_sz = msym_s.reshape(B, H, W)
-    msym_cd = msym_c.reshape(B, H, W)
-    extra_val = (adj & ((1 << len_extra) - 1)).astype(jnp.uint32)
-    # match emission = len code | extra bits | 1-bit distance code (0)
-    match_val = msym_cd | (extra_val << msym_sz.astype(jnp.uint32))
-    match_bits = msym_sz + len_extra + 1
-
-    if cost_check:
-        # 32bpp 1-pass: single-pixel matches become literals when strictly
-        # cheaper (fpng.cpp:1520-1528).
-        lit_sum = lit_sz.sum(axis=-1)
-        demote = mstart & (mlen_px == 1) & (match_bits > lit_sum)
-        mstart = mstart & ~demote
-        lit_pixel = ~eq | demote
+    if is_tpu_backend():
+        words, total_bits, last_tok_start = encode_bits_fused(
+            desc, tbl, base_bits, num_words)
     else:
-        lit_pixel = ~eq
-
-    # --- per-byte units ----------------------------------------------------
-    k0 = jnp.zeros((B, H, W, Cc), bool).at[:, :, :, 0].set(True)
-    unit_bits = jnp.where(
-        lit_pixel[..., None], lit_sz,
-        jnp.where((mstart[..., None]) & k0, match_bits[..., None], 0))
-    unit_vals = jnp.where(
-        lit_pixel[..., None], lit_cd,
-        jnp.where((mstart[..., None]) & k0, match_val[..., None],
-                  jnp.uint32(0)))
-
-    # filter-byte units: value 0 for row 0, 2 for the rest
-    fvals = jnp.where(jnp.arange(H, dtype=jnp.int32) > 0, 2, 0)  # (H,)
-    f_idx = jnp.broadcast_to(fvals[None, :], (B, H))
-    f_sz = jnp.take_along_axis(sizes, f_idx, axis=1)
-    f_cd = jnp.take_along_axis(codes, f_idx, axis=1)
-
-    row_bits = jnp.concatenate(
-        [f_sz[:, :, None], unit_bits.reshape(B, H, W * Cc)], axis=2)
-    row_vals = jnp.concatenate(
-        [f_cd[:, :, None], unit_vals.reshape(B, H, W * Cc)], axis=2)
-
-    eob_sz = sizes[:, 256]
-    eob_cd = codes[:, 256]
-    nbits = jnp.concatenate(
-        [pend_n[:, None], row_bits.reshape(B, -1), eob_sz[:, None]], axis=1)
-    vals = jnp.concatenate(
-        [pend_val[:, None], row_vals.reshape(B, -1), eob_cd[:, None]], axis=1)
-
-    offsets = exclusive_offsets(nbits, base_bits)
-    words = deposit_bits(vals, nbits, offsets, num_words)
-    total_bits = offsets[:, -1] + nbits[:, -1]
-
-    # token starts: filter units + first byte of literal pixels + match
-    # starts (flush-window fallback rule; EOB/pending excluded)
-    tok_px = (lit_pixel | mstart)[..., None] & k0
-    tok_mask = jnp.concatenate(
-        [jnp.zeros((B, H, 1), bool), tok_px.reshape(B, H, W * Cc)], axis=2)
-    tok_mask = jnp.concatenate(
-        [jnp.zeros((B, 1), bool), tok_mask.reshape(B, -1),
-         jnp.zeros((B, 1), bool)], axis=1)
-    last_tok_start = jnp.max(jnp.where(tok_mask, offsets, -1), axis=1)
+        vals, nbits, ts = materialize_units(desc, codes, sizes)
+        offsets = exclusive_offsets(nbits, base_bits)
+        words = scatter_bits(vals, nbits, offsets, num_words)
+        total_bits = offsets[:, -1] + nbits[:, -1]
+        last_tok_start = jnp.max(jnp.where(ts, offsets, -1), axis=1)
 
     # adler32 over the filtered stream (filter bytes included)
     stream_u8 = jnp.concatenate(
@@ -158,13 +180,11 @@ def encode_kernel(imgs, codes, sizes, base_bits, pend_val, pend_n, *,
     adler = adler32_bytes(stream_u8)
 
     if want_hist:
-        oh_d = jax.nn.one_hot(flat_d, C.NUM_LIT_SYMS, dtype=jnp.bfloat16)
-        h_lit = _masked_hist(
-            oh_d, [jnp.broadcast_to(lit_pixel[..., None],
-                                    d32.shape).reshape(B, -1)])[:, 0]
-        oh_m = jax.nn.one_hot(len_sym.reshape(B, -1), C.NUM_LIT_SYMS,
-                              dtype=jnp.bfloat16)
-        h_m = _masked_hist(oh_m, [mstart.reshape(B, -1)])[:, 0]
+        h_lit = _sym_hist(
+            deltas.astype(jnp.int32).reshape(B, -1),
+            jnp.broadcast_to(lit_pixel[..., None],
+                             deltas.shape).reshape(B, -1))
+        h_m = _sym_hist(len_sym.reshape(B, -1), mstart.reshape(B, -1))
         hist = h_lit + h_m
         hist = hist.at[:, 0].add(1)                    # row-0 filter byte
         hist = hist.at[:, 2].add(jnp.int32(H - 1))     # Up filter bytes
@@ -182,15 +202,10 @@ def hist_kernel(imgs, *, num_chans: int):
     eq, mstart, mlen_px = match_fields(deltas, num_chans)
     d32 = deltas.astype(jnp.int32)
     adj = jnp.where(mstart, mlen_px * Cc - 3, 0)
-    len_sym, _ = _len_sym_extra(adj, B)
-    oh_d = jax.nn.one_hot(d32.reshape(B, -1), C.NUM_LIT_SYMS,
-                          dtype=jnp.bfloat16)
-    h_lit = _masked_hist(
-        oh_d, [jnp.broadcast_to((~eq)[..., None],
-                                d32.shape).reshape(B, -1)])[:, 0]
-    oh_m = jax.nn.one_hot(len_sym.reshape(B, -1), C.NUM_LIT_SYMS,
-                          dtype=jnp.bfloat16)
-    h_m = _masked_hist(oh_m, [mstart.reshape(B, -1)])[:, 0]
+    len_sym, _ = _len_sym_extra(adj)
+    h_lit = _sym_hist(d32.reshape(B, -1), jnp.broadcast_to(
+        (~eq)[..., None], d32.shape).reshape(B, -1))
+    h_m = _sym_hist(len_sym.reshape(B, -1), mstart.reshape(B, -1))
     hist = h_lit + h_m
     hist = hist.at[:, 0].add(1)
     hist = hist.at[:, 2].add(jnp.int32(H - 1))
@@ -308,6 +323,9 @@ def encode_batch_device_input(dev_imgs, images: np.ndarray,
         pend_n = np.full(B, nacc, np.int32)
         cost_check = (Cc == 4)
 
+    # desc-field invariants (ops/encfuse.py layout): pending-tail units
+    # carry <= 7 bits (BitWriter drains to sub-byte)
+    assert int(pend_n.max()) <= 7 and int(pend_val.max()) < (1 << 13)
     words, total_bits, last_tok, adler, _ = encode_kernel(
         dev_imgs, jnp.asarray(codes), jnp.asarray(sizes),
         jnp.asarray(base_bits), jnp.asarray(pend_val), jnp.asarray(pend_n),

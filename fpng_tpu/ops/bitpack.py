@@ -66,6 +66,86 @@ _WL = 1024        # window words (8 sublane rows); >= 127 + 576 + 2 spill
 _WROWS = _WL // 128
 
 
+def _window_deposit(vals, offs, idxv, cols, out_ref, pending, prevr):
+    """Deposit one flat (_U,) sub-tile of (uint32 value, bit offset) units
+    into out_ref through the carried window (pending/prevr scratch).
+
+    The window geometry (word width / row count) follows cols.shape[1] so
+    callers can trade one-hot width against window-walk iterations; the
+    pending scratch must hold 2x the matching row count.
+
+    Units are sorted by offset but may have arbitrary gaps (the decoder's
+    record expansion skips match-covered bytes), so one sub-tile can span
+    several deposit windows.  Walk windows with a scalar first-unprocessed
+    index; each window covers a contiguous sorted range, so the index
+    advances by the in-window count.
+    """
+    wl_words = cols.shape[1]
+    wrows = wl_words // 128
+    word = offs >> 5
+    sh = (offs & 31).astype(jnp.uint32)
+    lo = vals << sh
+    hi = (vals >> jnp.uint32(1)) >> (jnp.uint32(31) - sh)
+
+    n_eff = jnp.max(jnp.where((lo | hi) != 0, idxv, -1)) + 1
+
+    def win_body(i0):
+        base_row = jnp.min(
+            jnp.where(idxv >= i0, word, 0x7FFFFFFF)) // 128
+        wl = word - base_row * 128
+        in_win = (idxv >= i0) & (wl < wl_words - 1)
+        # fold the window mask into wl (Mosaic cannot broadcast an
+        # i1 minor dim): out-of-window units match no column
+        wl_m = jnp.where(in_win, wl, -1)
+        mlo = jnp.where(in_win, lo, 0)
+        mhi = jnp.where(in_win, hi, 0)
+
+        def byte_planes(v):
+            return jnp.stack(
+                [(v >> (8 * j)) & 0xFF for j in range(4)]) \
+                .astype(jnp.int32).astype(jnp.bfloat16)
+        oh = (cols == wl_m[:, None]).astype(jnp.bfloat16)
+        planes = jnp.concatenate([byte_planes(mlo), byte_planes(mhi)])
+        m = jnp.dot(planes, oh,
+                    preferred_element_type=jnp.float32) \
+            .astype(jnp.int32)
+        mlo_w, mhi_w = m[:4], m[4:]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (4, wl_words), 1)
+        mhi_w = jnp.where(lane > 0, pltpu.roll(mhi_w, 1, 1), 0)
+        ws = mlo_w + mhi_w
+        if wl_words == 1024:
+            win = (ws[0] | (ws[1] << 8) | (ws[2] << 16) | (ws[3] << 24)) \
+                .astype(jnp.uint32).reshape(wrows, 128)
+        else:
+            # narrow windows: Mosaic legalizes neither (wl,)->(wrows,128)
+            # shape casts nor 1D pads, so assemble rows from column slices
+            win = jnp.concatenate(
+                [(ws[0:1, 128 * r:128 * (r + 1)] |
+                  (ws[1:2, 128 * r:128 * (r + 1)] << 8) |
+                  (ws[2:3, 128 * r:128 * (r + 1)] << 16) |
+                  (ws[3:4, 128 * r:128 * (r + 1)] << 24))
+                 for r in range(wrows)], axis=0).astype(jnp.uint32)
+
+        # d > wrows (gap): the clamped read lands in the zeroed
+        # upper half of `pending`
+        d = jnp.clip(base_row - prevr[0], 0, wrows)
+        shifted = pending[pl.ds(d, wrows), :]
+        combined = win + shifted
+
+        out_ref[0, pl.ds(base_row, wrows), :] = combined
+        pending[0:wrows, :] = combined
+        prevr[0] = base_row
+        return i0 + jnp.sum(in_win.astype(jnp.int32))
+
+    jax.lax.while_loop(lambda i0: i0 < n_eff, win_body, jnp.int32(0))
+
+
+def _flat_idx():
+    idxv = jax.lax.broadcasted_iota(jnp.int32, (8, _U // 8), 0) * (_U // 8) \
+        + jax.lax.broadcasted_iota(jnp.int32, (8, _U // 8), 1)
+    return idxv.reshape(_U)
+
+
 def _deposit_kernel(vals_ref, offs_ref, out_ref, pending, prevr):
     t = pl.program_id(1)
 
@@ -75,64 +155,12 @@ def _deposit_kernel(vals_ref, offs_ref, out_ref, pending, prevr):
         prevr[0] = (offs_ref[0, 0, 0, 0] >> 5) // 128
 
     cols = jax.lax.broadcasted_iota(jnp.int32, (_U, _WL), 1)
-    idxv = jax.lax.broadcasted_iota(jnp.int32, (8, _U // 8), 0) * (_U // 8) \
-        + jax.lax.broadcasted_iota(jnp.int32, (8, _U // 8), 1)
-    idxv = idxv.reshape(_U)
+    idxv = _flat_idx()
     for k in range(_SUB):
         vals = vals_ref[0, 0, 8 * k:8 * (k + 1), :].reshape(_U) \
             .astype(jnp.uint32)
         offs = offs_ref[0, 0, 8 * k:8 * (k + 1), :].reshape(_U)
-        word = offs >> 5
-        sh = (offs & 31).astype(jnp.uint32)
-        lo = vals << sh
-        hi = (vals >> jnp.uint32(1)) >> (jnp.uint32(31) - sh)
-
-        # Units are sorted by offset but may have arbitrary gaps (the
-        # decoder's record expansion skips match-covered bytes), so one
-        # sub-tile can span several deposit windows.  Walk windows with a
-        # scalar first-unprocessed index; each window covers a contiguous
-        # sorted range, so the index advances by the in-window count.
-        n_eff = jnp.max(jnp.where((lo | hi) != 0, idxv, -1)) + 1
-
-        def win_body(i0):
-            base_row = jnp.min(
-                jnp.where(idxv >= i0, word, 0x7FFFFFFF)) // 128
-            wl = word - base_row * 128
-            in_win = (idxv >= i0) & (wl < _WL - 1)
-            # fold the window mask into wl (Mosaic cannot broadcast an
-            # i1 minor dim): out-of-window units match no column
-            wl_m = jnp.where(in_win, wl, -1)
-            mlo = jnp.where(in_win, lo, 0)
-            mhi = jnp.where(in_win, hi, 0)
-
-            def byte_planes(v):
-                return jnp.stack(
-                    [(v >> (8 * j)) & 0xFF for j in range(4)]) \
-                    .astype(jnp.int32).astype(jnp.bfloat16)
-            oh = (cols == wl_m[:, None]).astype(jnp.bfloat16)
-            planes = jnp.concatenate([byte_planes(mlo), byte_planes(mhi)])
-            m = jnp.dot(planes, oh,
-                        preferred_element_type=jnp.float32) \
-                .astype(jnp.int32)
-            mlo_w, mhi_w = m[:4], m[4:]
-            lane = jax.lax.broadcasted_iota(jnp.int32, (4, _WL), 1)
-            mhi_w = jnp.where(lane > 0, pltpu.roll(mhi_w, 1, 1), 0)
-            ws = mlo_w + mhi_w
-            win = (ws[0] | (ws[1] << 8) | (ws[2] << 16) | (ws[3] << 24)) \
-                .astype(jnp.uint32).reshape(_WROWS, 128)
-
-            # d > _WROWS (gap): the clamped read lands in the zeroed
-            # upper half of `pending`
-            d = jnp.clip(base_row - prevr[0], 0, _WROWS)
-            shifted = pending[pl.ds(d, _WROWS), :]
-            combined = win + shifted
-
-            out_ref[0, pl.ds(base_row, _WROWS), :] = combined
-            pending[0:_WROWS, :] = combined
-            prevr[0] = base_row
-            return i0 + jnp.sum(in_win.astype(jnp.int32))
-
-        jax.lax.while_loop(lambda i0: i0 < n_eff, win_body, jnp.int32(0))
+        _window_deposit(vals, offs, idxv, cols, out_ref, pending, prevr)
 
 
 def _deposit_kernel_init(vals_ref, offs_ref, out_ref, pending, prevr):

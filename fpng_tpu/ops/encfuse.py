@@ -1,0 +1,304 @@
+"""Fused encoder deposit: desc -> (table lookup, bit offsets, deposit).
+
+Round 1 materialized three O(N) intermediates between kernels: one-hot MXU
+code lookups (ops/lookup.py), the global bit-offset prefix sum, and the
+(vals, nbits, offsets) unit arrays — together ~100x the pixel bytes in HBM
+traffic.  This kernel takes one packed per-unit descriptor stream plus the
+per-image 288-entry code table and does everything in VMEM:
+
+  desc bits:  0-8  sym        table index (literal byte / len sym / 0|2
+                              filter / 256 EOB)
+              9    use_table  0 => raw unit (header pending-tail bits)
+              10-12 extra_n   trailing bit count (len-extra + 1-bit dist
+                              code for matches; pending nacc for raw)
+              13-25 extra_val trailing bit value
+              26   tok_start  reference flush-rule token starts
+
+Per (8,128) sub-tile: a 3-row-select + lane-gather resolves code|size<<16
+from the table tile (Mosaic's take_along_axis gather form; rows selected
+by where() since sublanes here hold *distinct* units, unlike the decode
+walk kernel's replicated sublanes); unit bit offsets come from a lane-dim
+lower-triangular MXU cumsum plus an 8x8 row-prefix matmul plus a scalar
+carry in SMEM (the grid is sequential per image, so the carry replaces the
+global prefix sum); the deposit reuses the windowed one-hot-matmul store
+(ops/bitpack._window_deposit).  total_bits and the last token start (the
+stored-block fallback rule, fpng.cpp:1744) ride along as SMEM scalars.
+
+Equivalent scalar semantics: the reference's one-pass emit loop
+(fpng.cpp:1163-1265), restated as a batched data-parallel program.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .bitpack import _SUB, _U, _flat_idx, _window_deposit
+
+DESC_SYM_BITS = 9
+DESC_USE_TABLE = 1 << 9
+DESC_EXTRA_N_SHIFT = 10
+DESC_EXTRA_VAL_SHIFT = 13
+DESC_TOK_START = 1 << 26
+
+
+import os as _os
+
+_WLE = int(_os.environ.get("FPNG_TPU_WLE", "512"))  # encoder window words
+_WRE = _WLE // 128
+_GUE = int(_os.environ.get("FPNG_TPU_GUE", "1024"))  # units per window walk
+
+
+def _encfuse_kernel(base_ref, desc_ref, tbl_ref, out_ref, tot_ref, ltk_ref,
+                    pending, prevr, carry, ltokv):
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    sub8 = 8 * _SUB
+
+    @pl.when(t == 0)
+    def _():
+        pending[...] = jnp.zeros_like(pending)
+        carry[0] = base_ref[b, 0]
+        ltokv[...] = jnp.full_like(ltokv, -1)
+        prevr[0] = (base_ref[b, 0] >> 5) // 128
+
+    cols = jax.lax.broadcasted_iota(jnp.int32, (_GUE, _WLE), 1)
+    idxv = _flat_idx()[:_GUE]
+    # lane-dim inclusive-cumsum operator (MXU-exact: bf16 operands are
+    # small ints, accumulation is f32 and row sums stay < 2^24)
+    lt128 = (jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0) <=
+             jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)) \
+        .astype(jnp.bfloat16)
+    subl = jax.lax.broadcasted_iota(jnp.int32, (sub8, 128), 0)
+    tbl_rows = [tbl_ref[0, r:r + 1, :] for r in range(3)]
+
+    # --- step-wide unit decode + offsets (one matmul, one scalar) --------
+    d = desc_ref[0, 0, :, :]  # (sub8, 128)
+    sym = d & 511
+    use_t = (d >> 9) & 1
+    en = (d >> DESC_EXTRA_N_SHIFT) & 7
+    ev = ((d >> DESC_EXTRA_VAL_SHIFT) & 0x1FFF).astype(jnp.uint32)
+    ts = (d >> 26) & 1
+
+    col = sym & 127
+    rowi = sym >> 7
+    e = jnp.zeros((sub8, 128), jnp.int32)
+    for r in range(3):
+        cand = jnp.take_along_axis(
+            jnp.broadcast_to(tbl_rows[r], (sub8, 128)), col, axis=1)
+        e = jnp.where(rowi == r, cand, e)
+    code = (e & 0xFFFF).astype(jnp.uint32)
+    sz = e >> 16
+    sz = jnp.where(use_t == 1, sz, 0)
+    code = jnp.where(use_t == 1, code, jnp.uint32(0))
+    val = code | (ev << sz.astype(jnp.uint32))
+    n = sz + en
+
+    s_inc = jnp.dot(n.astype(jnp.bfloat16), lt128,
+                    preferred_element_type=jnp.float32).astype(jnp.int32)
+    # exclusive row prefix: int32 Kogge-Stone over sublanes (an f32
+    # matmul here rounds - TPU f32 matmuls run at reduced precision)
+    s = jnp.broadcast_to(s_inc[:, 127:128], (sub8, 128))
+    sh_ = 1
+    while sh_ < sub8:
+        s = s + jnp.where(subl >= sh_, pltpu.roll(s, sh_, 0), 0)
+        sh_ *= 2
+    rb = jnp.where(subl >= 1, pltpu.roll(s, 1, 0), 0)
+    offs = carry[0] + rb + s_inc - n
+    carry[0] = carry[0] + jnp.sum(n)
+    # last token start: vector running max, reduced once at the end
+    ltokv[...] = jnp.maximum(ltokv[...], jnp.where(ts == 1, offs, -1))
+
+    for k in range(_SUB):
+        vf = val[8 * k:8 * (k + 1), :].reshape(_U)
+        of = offs[8 * k:8 * (k + 1), :].reshape(_U)
+        for g in range(_U // _GUE):
+            _window_deposit(vf[g * _GUE:(g + 1) * _GUE],
+                            of[g * _GUE:(g + 1) * _GUE],
+                            idxv, cols, out_ref, pending, prevr)
+
+    @pl.when(t == pl.num_programs(1) - 1)
+    def _():
+        tot_ref[b, 0] = carry[0]
+        ltk_ref[b, 0] = jnp.max(ltokv[...])
+
+
+@functools.partial(jax.jit, static_argnames=("num_words", "interpret"))
+def encode_bits_fused(desc: jnp.ndarray, tbl: jnp.ndarray,
+                      base_bits: jnp.ndarray, num_words: int,
+                      interpret: bool = False):
+    """Fused lookup+offsets+deposit over a (B, N) desc stream.
+
+    tbl: (B, 8, 128) int32 packed code | size<<16 (entries 0..287 in rows
+    0..2); base_bits: (B,) int32 start offsets (serialized prefix bits).
+    Returns (words (B, num_words) uint32, total_bits (B,), last_tok (B,)).
+    """
+    B, N = desc.shape
+    step = _U * _SUB
+    T = -(-N // step)
+    pad = T * step - N
+    if pad:
+        desc = jnp.concatenate(
+            [desc, jnp.zeros((B, pad), desc.dtype)], axis=1)
+    sub8 = 8 * _SUB
+    desc4 = desc.astype(jnp.int32).reshape(B, T, sub8, 128)
+    rows = -(-num_words // 128) + _WRE + 1
+
+    out, tot, ltk = pl.pallas_call(
+        _encfuse_kernel,
+        grid=(B, T),
+        in_specs=[
+            pl.BlockSpec((B, 1), lambda b, t: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, sub8, 128), lambda b, t: (b, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 128), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, rows, 128), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, 1), lambda b, t: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((B, 1), lambda b, t: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, rows, 128), jnp.uint32),
+            jax.ShapeDtypeStruct((B, 1), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2 * _WRE, 128), jnp.uint32),
+            pltpu.SMEM((1,), jnp.int32),
+            pltpu.SMEM((1,), jnp.int32),
+            pltpu.VMEM((sub8, 128), jnp.int32),
+        ],
+        interpret=interpret,
+    )(base_bits.astype(jnp.int32).reshape(B, 1), desc4,
+      tbl.astype(jnp.int32))
+    return (out.reshape(B, rows * 128)[:, :num_words],
+            tot[:, 0], ltk[:, 0])
+
+
+def materialize_units(desc, codes, sizes):
+    """XLA twin of the kernel's per-unit decode (CPU fallback + oracle).
+
+    desc (B, N) int32; codes (B, 288) uint32; sizes (B, 288) int32.
+    Returns (vals uint32, nbits int32, tok_start bool), each (B, N).
+    """
+    sym = desc & 511
+    use_t = (desc >> 9) & 1
+    en = (desc >> DESC_EXTRA_N_SHIFT) & 7
+    ev = ((desc >> DESC_EXTRA_VAL_SHIFT) & 0x1FFF).astype(jnp.uint32)
+    ts = ((desc >> 26) & 1) == 1
+    code = jnp.take_along_axis(codes, sym, axis=1)
+    sz = jnp.take_along_axis(sizes, sym, axis=1)
+    sz = jnp.where(use_t == 1, sz, 0)
+    code = jnp.where(use_t == 1, code, jnp.uint32(0))
+    vals = code | (ev << sz.astype(jnp.uint32))
+    nbits = sz + en
+    return vals, nbits, ts
+
+
+def pack_table(codes, sizes):
+    """(B, 288) uint32/int32 -> (B, 8, 128) int32 code | size<<16 tiles."""
+    B = codes.shape[0]
+    packed = (codes.astype(jnp.int32) |
+              (sizes.astype(jnp.int32) << 16))
+    return jnp.pad(packed, ((0, 0), (0, 1024 - 288))).reshape(B, 8, 128)
+
+
+# ---------------------------------------------------------------------------
+# 32bpp one-pass cost check (fpng.cpp:1520-1528) as a tiny gather kernel
+# ---------------------------------------------------------------------------
+
+_SUBP = 8  # pixel sub-tiles per grid step
+
+
+def _gather_size(tbl_rows, sym):
+    col = sym & 127
+    rowi = sym >> 7
+    e = jnp.zeros((8, 128), jnp.int32)
+    for r in range(3):
+        cand = jnp.take_along_axis(
+            jnp.broadcast_to(tbl_rows[r], (8, 128)), col, axis=1)
+        e = jnp.where(rowi == r, cand, e)
+    return e >> 16
+
+
+def _demote_kernel(tbl_ref, dch_ref, ls_ref, le_ref, cd_ref, out_ref):
+    sub8 = 8 * _SUBP
+    tbl_rows = [tbl_ref[0, r:r + 1, :] for r in range(3)]
+    for k in range(_SUBP):
+        lit_sum = jnp.zeros((8, 128), jnp.int32)
+        for c in range(4):
+            lit_sum += _gather_size(
+                tbl_rows, dch_ref[0, 0, c * sub8 + 8 * k:
+                                  c * sub8 + 8 * (k + 1), :])
+        msz = _gather_size(tbl_rows, ls_ref[0, 0, 8 * k:8 * (k + 1), :])
+        le = le_ref[0, 0, 8 * k:8 * (k + 1), :]
+        cd = cd_ref[0, 0, 8 * k:8 * (k + 1), :]
+        out_ref[0, 0, 8 * k:8 * (k + 1), :] = \
+            ((cd != 0) & (msz + le + 1 > lit_sum)).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def demote_mask_tpu(deltas, len_sym, len_extra, cand, tbl,
+                    interpret: bool = False):
+    """Single-pixel matches that are strictly cheaper as 4 literals.
+
+    deltas (B, H, W, 4) uint8; len_sym/len_extra (B, H, W) int32;
+    cand (B, H, W) bool (1-px match starts); tbl as pack_table.
+    Returns (B, H, W) bool.
+    """
+    B, H, W, Cc = deltas.shape
+    Np = H * W
+    step = 1024 * _SUBP  # pixels per grid step (sub8 x 128)
+    Tp = -(-Np // step)
+    padn = Tp * step - Np
+    sub8 = 8 * _SUBP
+
+    def pad2(x):
+        x = x.reshape(B, Np)
+        if padn:
+            x = jnp.concatenate(
+                [x, jnp.zeros((B, padn), x.dtype)], axis=1)
+        return x
+
+    dch = jnp.moveaxis(deltas.astype(jnp.int32), 3, 1).reshape(B, 4, Np)
+    if padn:
+        dch = jnp.concatenate(
+            [dch, jnp.zeros((B, 4, padn), jnp.int32)], axis=2)
+    # (B, Tp, 4*sub8, 128): channel planes stacked along sublanes
+    dch4 = jnp.moveaxis(dch.reshape(B, 4, Tp, sub8, 128), 1, 2) \
+        .reshape(B, Tp, 4 * sub8, 128)
+    ls4 = pad2(len_sym).astype(jnp.int32).reshape(B, Tp, sub8, 128)
+    le4 = pad2(len_extra).astype(jnp.int32).reshape(B, Tp, sub8, 128)
+    cd4 = pad2(cand.astype(jnp.int32)).reshape(B, Tp, sub8, 128)
+
+    out = pl.pallas_call(
+        _demote_kernel,
+        grid=(B, Tp),
+        in_specs=[
+            pl.BlockSpec((1, 8, 128), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 4 * sub8, 128), lambda b, t: (b, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, sub8, 128), lambda b, t: (b, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, sub8, 128), lambda b, t: (b, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, sub8, 128), lambda b, t: (b, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, sub8, 128), lambda b, t: (b, t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, Tp, sub8, 128), jnp.int32),
+        interpret=interpret,
+    )(tbl.astype(jnp.int32), dch4, ls4, le4, cd4)
+    return (out.reshape(B, Tp * step)[:, :Np] != 0).reshape(B, H, W)

@@ -19,9 +19,3 @@ def filter_deltas(imgs: jnp.ndarray) -> jnp.ndarray:
     assert imgs.dtype == jnp.uint8
     prev = jnp.pad(imgs[:, :-1], ((0, 0), (1, 0), (0, 0), (0, 0)))
     return imgs - prev  # uint8 wraparound == mod-256 byte delta
-
-
-def defilter_cumsum(deltas: jnp.ndarray) -> jnp.ndarray:
-    """Inverse filter: running byte sum down the rows (mod 256)."""
-    # uint8 cumsum wraps correctly through int32 accumulation + cast
-    return jnp.cumsum(deltas.astype(jnp.int32), axis=1).astype(jnp.uint8)

@@ -19,9 +19,9 @@ structural constraint the reference enforces (filter-byte placement, match
 alignment/caps, EOB position, stream end) so that any violation downgrades
 to FPNG_DECODE_NOT_FPNG.
 
-Compared to the pointer-doubling formulation (ops/huffdec.py) this does
-O(total_tokens) work in ~3 passes of small lockstep steps instead of
-O(n_bits * log n_bits) full-stream gather compositions.
+Compared to a pointer-doubling formulation this does O(total_tokens) work
+in ~3 passes of small lockstep steps instead of O(n_bits * log n_bits)
+full-stream gather compositions.
 
 LUT entries here are "packed": sym | clen<<9 | nextra<<13 | run_base<<16
 (see pack_lut) so one lookup yields the full token geometry.

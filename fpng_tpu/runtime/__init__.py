@@ -9,6 +9,7 @@ in tests and as the fallback when no compiler is available.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 import threading
@@ -17,7 +18,6 @@ import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "native.cpp")
-_SO = os.path.join(_HERE, "_native.so")
 
 _lock = threading.Lock()
 _lib = None
@@ -25,16 +25,27 @@ _tried = False
 
 
 def _build() -> str | None:
-    if os.path.exists(_SO) and \
-            os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
-        return _SO
-    tmp = _SO + ".tmp"
+    """Compile native.cpp into a content-hash-keyed .so (never committed).
+
+    Keying the artifact name on the source hash makes rebuilds robust to
+    git checkouts (which equalize mtimes) and guarantees a stale binary is
+    never loaded for changed source.
+    """
+    try:
+        with open(_SRC, "rb") as f:
+            key = hashlib.sha256(f.read()).hexdigest()[:16]
+    except OSError:
+        return None
+    so = os.path.join(_HERE, f"_native-{key}.so")
+    if os.path.exists(so):
+        return so
+    tmp = so + f".tmp{os.getpid()}"
     try:
         subprocess.run(
             ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", tmp],
             check=True, capture_output=True)
-        os.replace(tmp, _SO)
-        return _SO
+        os.replace(tmp, so)
+        return so
     except (OSError, subprocess.CalledProcessError):
         return None
 
@@ -50,7 +61,10 @@ def _load():
         so = _build()
         if so is None:
             return None
-        lib = ctypes.CDLL(so)
+        try:
+            lib = ctypes.CDLL(so)
+        except OSError:
+            return None
         u8p = ctypes.POINTER(ctypes.c_uint8)
         u32p = ctypes.POINTER(ctypes.c_uint32)
         i64p = ctypes.POINTER(ctypes.c_int64)

@@ -300,11 +300,14 @@ int parse_dyn_header_impl(const uint8_t* src, size_t src_len, int num_chans,
     memcpy(lit_sizes, code_sizes, num_lit < 288 ? num_lit : 288);
     if (!build_table(288, lit_sizes, lut, 12)) return DEC_NOT_FPNG;
 
-    // pack run geometry (specdec.pack_lut parity)
+    // pack run geometry (specdec.pack_lut parity).  Reserved syms 286/287
+    // keep their sym|clen with zero geometry: walks must keep advancing so
+    // a spurious lane never freezes the entry fixpoint (specdec.py:74-78);
+    // the record pass rejects them on the true chain.
     for (size_t i = 0; i < 4096; i++) {
         uint32_t e = lut[i];
         int sym = e & 511;
-        if (sym > 285) { lut[i] = 0; continue; }
+        if (sym > 285) { lut[i] = e & 0x1FFF; continue; }
         if (sym > 256 && e) {
             int base, nextra;
             len_sym_geometry(sym - 257, &base, &nextra);

@@ -118,6 +118,74 @@ def test_parse_dyn_header_parity():
                 assert np.array_equal(pack_lut(pyb), nb[0])
 
 
+def _emit_header_stream(lit_sizes, dist_sizes):
+    """Serialize a zlib hdr + BFINAL + dynamic block header for arbitrary
+    lit/dist code-length vectors (no num_lit cap, unlike the encoder's
+    emitter) - lets tests craft tables containing reserved syms 286/287."""
+    from fpng_tpu.bitio import BitWriter
+    from fpng_tpu.constants import CLEN_CODE_LIMIT, CLEN_ORDER
+    from fpng_tpu.huffman import (_CLEN_EXTRA_BITS, _pack_code_sizes,
+                                  build_code_sizes, canonical_codes)
+
+    num_lit = 288
+    while num_lit > 257 and lit_sizes[num_lit - 1] == 0:
+        num_lit -= 1
+    num_dist = 30
+    while num_dist > 1 and dist_sizes[num_dist - 1] == 0:
+        num_dist -= 1
+    concat = np.concatenate([lit_sizes[:num_lit], dist_sizes[:num_dist]])
+    packed, clen_freq = _pack_code_sizes(concat)
+    clen_sizes, clen_nc = build_code_sizes(clen_freq, CLEN_CODE_LIMIT)
+    clen_codes = canonical_codes(clen_sizes, clen_nc, CLEN_CODE_LIMIT)
+    w = BitWriter()
+    w.put_and_drain(C.ZLIB_HDR0, 8)
+    w.put_and_drain(C.ZLIB_HDR1, 8)
+    w.put_and_drain(1, 1)  # BFINAL
+    w.put_and_drain(2, 2)  # BTYPE = dynamic
+    w.put_and_drain(num_lit - 257, 5)
+    w.put_and_drain(num_dist - 1, 5)
+    nbl = 18
+    while nbl >= 0 and clen_sizes[CLEN_ORDER[nbl]] == 0:
+        nbl -= 1
+    nbl = max(4, nbl + 1)
+    w.put_and_drain(nbl - 4, 4)
+    for i in range(nbl):
+        w.put_and_drain(int(clen_sizes[CLEN_ORDER[i]]), 3)
+    for sym, extra in packed:
+        w.put_and_drain(int(clen_codes[sym]), int(clen_sizes[sym]))
+        if sym >= 16:
+            w.put_and_drain(extra, _CLEN_EXTRA_BITS[sym])
+    w.force_flush()
+    return w.getvalue() + bytes(16)
+
+
+def test_parse_dyn_header_reserved_syms_parity():
+    """Crafted table with codes for reserved syms 286/287: the native LUT
+    packing must keep sym|clen with zero geometry exactly like pack_lut
+    (a zeroed entry would freeze walk lanes and degrade the fixpoint)."""
+    lit_sizes = np.full(288, 9, np.uint8)
+    lit_sizes[:16] = 6
+    lit_sizes[272:] = 6  # includes 286/287; Kraft: 32/64 + 256/512 = 1
+    dist_sizes = np.zeros(30, np.uint8)
+    dist_sizes[2] = 1  # distance 3 (3ch)
+    dist_sizes[3] = 1  # 2nd valid dist code (wuffs-rule shape)
+    src = _emit_header_stream(lit_sizes, dist_sizes)
+
+    r = BitReader(src)
+    r.skip(16)
+    assert r.get(1) == 1 and r.get(2) == 2
+    lut_py = _parse_dynamic_header(r, 3)
+    assert lut_py is not None
+    res = runtime.parse_dyn_header(src, 3)
+    assert res is not None
+    lut_n, p0 = res
+    assert p0 == r.bit_pos
+    packed_py = pack_lut(lut_py)
+    # the crafted table really exercises the reserved range
+    assert ((packed_py & 511) >= 286).any()
+    assert np.array_equal(packed_py, lut_n)
+
+
 def test_assemble_batch_used_and_correct():
     """encode_batch with native runtime == pure-python assembly."""
     rng = np.random.default_rng(2)

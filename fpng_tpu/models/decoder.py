@@ -146,15 +146,13 @@ def decode_batch(pngs: list[bytes], desired_channels: int = 4,
         if is_tpu_backend():
             # Pallas walk kernel: S=512 chunks cannot overflow the
             # static record bound, so there is no host-fallback path.
-            # Lane count follows the (pow2-bucketed) real stream length,
-            # not the buffer bucket, to avoid dead-lane record work
-            zb = 64
-            while zb < int(zl.max()):
-                zb *= 2
+            # Lane count follows the real stream length (plan_tpu's
+            # 1.5-pow2 ladder), not the buffer bucket, to avoid
+            # dead-lane record work
             imgs, ok = decode_kernel_tpu(
                 jnp.asarray(stream), jnp.asarray(luts), jnp.asarray(p0),
                 jnp.asarray(zl), h=h, w=w, c=ch,
-                nc_pad=plan_tpu(min(zb, nb)))
+                nc_pad=plan_tpu(int(zl.max())))
             overflow = np.zeros(B, bool)
         else:
             s_bits, n_chunks, max_steps = plan_chunks(nb)

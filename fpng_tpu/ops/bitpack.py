@@ -146,39 +146,51 @@ def _flat_idx():
     return idxv.reshape(_U)
 
 
-def _deposit_kernel(vals_ref, offs_ref, out_ref, pending, prevr):
-    t = pl.program_id(1)
+def _make_deposit_kernel(group: int, wl: int, zero_init: bool):
+    """Deposit kernel over `group`-unit window walks with wl-word windows.
 
-    @pl.when(t == 0)
-    def _():
-        pending[...] = jnp.zeros_like(pending)
-        prevr[0] = (offs_ref[0, 0, 0, 0] >> 5) // 128
+    Bigger groups amortize the per-walk fixed cost (scalar window scan,
+    dynamic stores) at the price of a wider one-hot; the decoder's
+    expansion (fixed 16-bit units) uses group=2048/wl=1152 while the
+    encoder fallback keeps 1024/1024.
+    """
+    grows = group // 128
 
-    cols = jax.lax.broadcasted_iota(jnp.int32, (_U, _WL), 1)
-    idxv = _flat_idx()
-    for k in range(_SUB):
-        vals = vals_ref[0, 0, 8 * k:8 * (k + 1), :].reshape(_U) \
-            .astype(jnp.uint32)
-        offs = offs_ref[0, 0, 8 * k:8 * (k + 1), :].reshape(_U)
-        _window_deposit(vals, offs, idxv, cols, out_ref, pending, prevr)
+    def kernel(vals_ref, offs_ref, out_ref, pending, prevr):
+        t = pl.program_id(1)
 
+        @pl.when(t == 0)
+        def _():
+            pending[...] = jnp.zeros_like(pending)
+            prevr[0] = (offs_ref[0, 0, 0, 0] >> 5) // 128
+            if zero_init:
+                # clear the image's word block on its first grid step so
+                # gap words (byte ranges no unit touches) read as zero
+                out_ref[...] = jnp.zeros_like(out_ref)
 
-def _deposit_kernel_init(vals_ref, offs_ref, out_ref, pending, prevr):
-    # zero-init variant: clear the image's word block on its first grid
-    # step so gap words (byte ranges no unit touches) read as zero
-    @pl.when(pl.program_id(1) == 0)
-    def _():
-        out_ref[...] = jnp.zeros_like(out_ref)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (group, wl), 1)
+        idxv = (jax.lax.broadcasted_iota(jnp.int32, (grows, 128), 0) * 128 +
+                jax.lax.broadcasted_iota(jnp.int32, (grows, 128), 1)) \
+            .reshape(group)
+        for k in range((_U * _SUB) // group):
+            vals = vals_ref[0, 0, grows * k:grows * (k + 1), :] \
+                .reshape(group).astype(jnp.uint32)
+            offs = offs_ref[0, 0, grows * k:grows * (k + 1), :] \
+                .reshape(group)
+            _window_deposit(vals, offs, idxv, cols, out_ref, pending,
+                            prevr)
 
-    _deposit_kernel(vals_ref, offs_ref, out_ref, pending, prevr)
+    return kernel
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("num_words", "interpret", "zero_init"))
+                   static_argnames=("num_words", "interpret", "zero_init",
+                                    "group", "wl"))
 def scatter_bits_tpu(vals: jnp.ndarray, nbits: jnp.ndarray,
                      offsets: jnp.ndarray, num_words: int,
                      interpret: bool = False,
-                     zero_init: bool = False) -> jnp.ndarray:
+                     zero_init: bool = False,
+                     group: int = _U, wl: int = _WL) -> jnp.ndarray:
     """Pallas deposit; same contract as scatter_bits (TPU backend only).
 
     zero_init guarantees words not covered by any deposit window read as
@@ -200,7 +212,8 @@ def scatter_bits_tpu(vals: jnp.ndarray, nbits: jnp.ndarray,
         offsets = jnp.concatenate(
             [offsets, jnp.broadcast_to(end, (B, pad))], axis=1)
 
-    rows = -(-num_words // 128) + _WROWS + 1
+    wrows = wl // 128
+    rows = -(-num_words // 128) + wrows + 1
     sub8 = 8 * _SUB
     vals4 = vals.astype(jnp.uint32).reshape(B, T, sub8, 128)
     offs4 = offsets.astype(jnp.int32).reshape(B, T, sub8, 128)
@@ -210,16 +223,15 @@ def scatter_bits_tpu(vals: jnp.ndarray, nbits: jnp.ndarray,
         pl.BlockSpec((1, 1, sub8, 128), lambda b, t: (b, t, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
-    kern = _deposit_kernel_init if zero_init else _deposit_kernel
     out = pl.pallas_call(
-        kern,
+        _make_deposit_kernel(group, wl, zero_init),
         grid=(B, T),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, rows, 128), lambda b, t: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, rows, 128), jnp.uint32),
         scratch_shapes=[
-            pltpu.VMEM((2 * _WROWS, 128), jnp.uint32),
+            pltpu.VMEM((2 * wrows, 128), jnp.uint32),
             pltpu.SMEM((1,), jnp.int32),
         ],
         interpret=interpret,
@@ -233,7 +245,7 @@ def is_tpu_backend() -> bool:
 
 
 def deposit_bits(vals, nbits, offsets, num_words: int,
-                 zero_init: bool = False):
+                 zero_init: bool = False, group: int = _U, wl: int = _WL):
     """Backend-dispatching bit deposit (Pallas on TPU, scatter elsewhere).
 
     The Pallas path keeps each image's word buffer resident in VMEM
@@ -243,5 +255,5 @@ def deposit_bits(vals, nbits, offsets, num_words: int,
     """
     if is_tpu_backend() and num_words <= 2_000_000:
         return scatter_bits_tpu(vals, nbits, offsets, num_words,
-                                zero_init=zero_init)
+                                zero_init=zero_init, group=group, wl=wl)
     return scatter_bits(vals, nbits, offsets, num_words)

@@ -51,22 +51,21 @@ def _make_walk_kernel(lpi: int, with_records: bool):
 
     def kernel(zl8_ref, w24_ref, lut_ref, ent_ref, *rest):
         if with_records:
-            exit_ref, outb_ref, steps_ref, meta_ref, outl_ref = rest[:5]
-            pos_s, outl_s, act_s = rest[5:]
+            exit_ref, outb_ref, steps_ref, meta_ref = rest[:4]
+            pos_s, outl_s, act_s = rest[4:]
         else:
             exit_ref, outb_ref = rest[:2]
             pos_s, outl_s, act_s = rest[2:]
         _walk_body(zl8_ref, w24_ref, lut_ref, ent_ref, exit_ref, outb_ref,
                    steps_ref if with_records else None,
                    meta_ref if with_records else None,
-                   outl_ref if with_records else None,
                    pos_s, outl_s, act_s, lpi, with_records)
 
     return kernel
 
 
 def _walk_body(zl8_ref, w24_ref, lut_ref, ent_ref,
-               exit_ref, outb_ref, steps_ref, meta_ref, outl_ref,
+               exit_ref, outb_ref, steps_ref, meta_ref,
                pos_s, outl_s, act_s, LPI, with_records):
     g = pl.program_id(1)
     zl8 = zl8_ref[pl.program_id(0), 0]
@@ -119,15 +118,16 @@ def _walk_body(zl8_ref, w24_ref, lut_ref, ent_ref,
         outlen = jnp.where(sym < 256, 1, jnp.where(is_m, run, 0))
         stop = clen == 0
 
-        meta = jnp.where(act,
-                         sym | (clen << 9) | (run << 13)
-                         | ((pos - lane_bit0) << 22), 0)
-        rec_outl = outl
+        # single-int32 record: sym | clen<<9 | run<<13.  Per-record output
+        # offsets and bit positions are RECONSTRUCTED in the finish stage
+        # (cumsums of outlen/token-bits derived from sym/clen/run), halving
+        # the record HBM traffic - the decode bottleneck.
+        meta = jnp.where(act, sym | (clen << 9) | (run << 13), 0)
         adv = act & ~stop
         pos = jnp.where(adv, pos + tok, pos)
         outl = outl + jnp.where(adv, outlen, 0)
         act = adv & (pos < bound)
-        return pos, outl, act, meta, rec_outl
+        return pos, outl, act, meta
 
     act0 = (ent < bound) & (lane_bit0 < zl8)
 
@@ -143,14 +143,11 @@ def _walk_body(zl8_ref, w24_ref, lut_ref, ent_ref,
         outl = outl_s[...]
         act = act_s[...] != 0
         g_meta = jnp.zeros((8, LPI), jnp.int32)
-        g_outl = jnp.zeros((8, LPI), jnp.int32)
         for u in range(8):
-            pos, outl, act, meta, rec_outl = step(pos, outl, act)
+            pos, outl, act, meta = step(pos, outl, act)
             g_meta = jnp.where(subl == u, meta, g_meta)
-            g_outl = jnp.where(subl == u, rec_outl, g_outl)
         if with_records:
             meta_ref[0, 0, pl.ds(it * 8, 8), :] = g_meta[:, :]
-            outl_ref[0, 0, pl.ds(it * 8, 8), :] = g_outl[:, :]
         pos_s[...] = pos
         outl_s[...] = outl
         act_s[...] = act.astype(jnp.int32)
@@ -161,15 +158,13 @@ def _walk_body(zl8_ref, w24_ref, lut_ref, ent_ref,
 
     it, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.int32(1)))
 
-    # zero-fill remaining record rows (outputs are uninitialized); keep
-    # outl at each lane's final value so flattened offsets stay monotone
+    # zero-fill remaining record rows (outputs are uninitialized)
     outl_f = outl_s[...]
 
     if with_records:
         def fill_body(it2):
             meta_ref[0, 0, pl.ds(it2 * 8, 8), :] = jnp.zeros((8, LPI),
                                                              jnp.int32)
-            outl_ref[0, 0, pl.ds(it2 * 8, 8), :] = outl_f
             return it2 + 1
 
         jax.lax.while_loop(lambda it2: it2 < ST8 // 8, fill_body, it)
@@ -189,7 +184,7 @@ def walk_pass_tpu(w24t, lutp4, entries, zl8, *, ng: int, lpi: int = LPI,
     w24t: (B, NG, 72, lpi) int32 per-lane 24-bit windows;
     lutp4: (B, 4, 8, 128) int32 packed LUT tiles;
     entries: (B, NG, 1, lpi) int32; zl8: (B, 1) int32 stream bit length.
-    Returns (exits, outb[, steps, meta, outl]); records (B, NG, ST8, lpi).
+    Returns (exits, outb[, steps, meta]); records (B, NG, ST8, lpi).
     """
     B = w24t.shape[0]
     out_specs = [
@@ -208,12 +203,9 @@ def walk_pass_tpu(w24t, lutp4, entries, zl8, *, ng: int, lpi: int = LPI,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, ST8, lpi), lambda b, g: (b, g, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, ST8, lpi), lambda b, g: (b, g, 0, 0),
-                         memory_space=pltpu.VMEM),
         ]
         out_shape += [
             jax.ShapeDtypeStruct((B, ng), jnp.int32),
-            jax.ShapeDtypeStruct((B, ng, ST8, lpi), jnp.int32),
             jax.ShapeDtypeStruct((B, ng, ST8, lpi), jnp.int32),
         ]
     kw = dict(
@@ -273,9 +265,11 @@ def _decode_walk(stream, lutp, p0, zlib_len, *, nc_pad: int,
                  interpret: bool = False):
     """Stage 1: fixpoint + final recording pass.
 
-    Returns (meta4, outl4, outb, out0, steps) with records still in
+    Returns (meta4, entries, outb, out0, steps) with records still in
     (B, NG, ST8, LPI) kernel layout so the host can trim step rows
-    before the expansion stage.
+    before the expansion stage.  Per-record output offsets / bit
+    positions are not recorded; the finish stage reconstructs them from
+    meta + entries by per-lane cumsums.
     """
     B = stream.shape[0]
     NC = nc_pad
@@ -334,12 +328,12 @@ def _decode_walk(stream, lutp, p0, zlib_len, *, nc_pad: int,
     outb = jnp.where(dead, 0, res[1].reshape(B, NC))
     out0 = jnp.cumsum(outb, axis=1) - outb
     steps = res[2]
-    return res[3], res[4], outb, out0, steps
+    return res[3], entries, outb, out0, steps
 
 
 @functools.partial(
     jax.jit, static_argnames=("h", "w", "c", "nc_pad", "k8"))
-def _decode_finish(meta4, outl4, out0, zlib_len, *, h: int, w: int, c: int,
+def _decode_finish(meta4, entries, out0, zlib_len, *, h: int, w: int, c: int,
                    nc_pad: int, k8: int):
     """Stage 2: constraint checks + literal expansion + reconstruction."""
     B = meta4.shape[0]
@@ -349,17 +343,28 @@ def _decode_finish(meta4, outl4, out0, zlib_len, *, h: int, w: int, c: int,
     total = h * row_stride
 
     meta = jnp.swapaxes(meta4[:, :, :k8, :], 2, 3).reshape(B, NC, k8)
-    outl = jnp.swapaxes(outl4[:, :, :k8, :], 2, 3).reshape(B, NC, k8)
-    starts = (jnp.arange(NC, dtype=jnp.int32) * S_TPU)[None, :]
 
     sym = meta & 511
     clen = (meta >> 9) & 15
     run = (meta >> 13) & 511
-    pos = ((meta >> 22) & 1023) + starts[:, :, None]
     act = clen > 0
+    is_match = (sym > 256) & (sym <= 285)
+
+    # reconstruct per-record output offsets and bit positions (walk
+    # records carry only sym/clen/run): exclusive cumsums along the step
+    # dim of the same outlen / token-bit geometry the walk used
+    outlen_r = jnp.where(act & (sym < 256), 1,
+                         jnp.where(act & is_match, run, 0))
+    outl = jnp.cumsum(outlen_r, axis=2) - outlen_r
+    # length-extra bits, arithmetically (RFC 1951 group structure; the
+    # LUT's packed nextra field is the same table)
+    nextra = jnp.clip((sym - 261) >> 2, 0, 5)
+    nextra = jnp.where(sym == 285, 0, nextra)
+    tokbits = jnp.where(act, clen + jnp.where(is_match, nextra + 1, 0), 0)
+    pos = entries[:, :, None] + jnp.cumsum(tokbits, axis=2) - tokbits
+
     outp = outl + out0[:, :, None]
 
-    is_match = (sym > 256) & (sym <= 285)
     rowpos = outp % row_stride
     x = rowpos - 1
     live = act & (outp < total)
@@ -392,9 +397,11 @@ def _decode_finish(meta4, outl4, out0, zlib_len, *, h: int, w: int, c: int,
     dep_words = -(-(16 * (total + 1)) // 32) + 1
     rs = jnp.where(lit, sym | 0x100, 0).reshape(B, n_rec)
     ro = jnp.minimum(outp, total).reshape(B, n_rec)
+    # 2048-unit walks halve the deposit's per-walk fixed cost; 16-bit
+    # units span exactly 1024 words per 2048 units, +128 misalignment
     dep = deposit_bits(rs.astype(jnp.uint32),
                        jnp.where(rs != 0, 16, 0), ro * 16,
-                       dep_words, zero_init=True)
+                       dep_words, zero_init=True, group=2048, wl=1152)
     pairs = jax.lax.bitcast_convert_type(dep, jnp.uint8) \
         .reshape(B, dep_words * 4)[:, :2 * total].reshape(B, total, 2)
     syms = pairs[..., 0]
@@ -431,18 +438,30 @@ def decode_kernel_tpu(stream, lutp, p0, zlib_len, *, h: int, w: int, c: int,
     """
     import numpy as _np
 
-    meta4, outl4, outb, out0, steps = _decode_walk(
+    meta4, entries, outb, out0, steps = _decode_walk(
         stream, lutp, p0, zlib_len, nc_pad=nc_pad, interpret=interpret)
     smax = max(int(_np.asarray(steps).max()), 8)
-    k8 = 8
-    while k8 < smax:
-        k8 *= 2
-    k8 = min(k8, ST8)
-    return _decode_finish(meta4, outl4, out0, zlib_len, h=h, w=w, c=c,
+    # 32-step granularity (vs pow2): up to 1.6x fewer dead record slots
+    # through the finish stage, at a bounded recompile count
+    k8 = min(-(-smax // 32) * 32 if smax > 8 else 8, ST8)
+    return _decode_finish(meta4, entries, out0, zlib_len, h=h, w=w, c=c,
                           nc_pad=nc_pad, k8=k8)
 
 
 def plan_tpu(nb: int) -> int:
-    """Padded lane count for an nb-byte stream bucket (TPU walk path)."""
+    """Padded lane count for an nb-byte stream (TPU walk path).
+
+    Lane groups are bucketed on a {1, 1.5} x pow2 ladder: fine enough
+    that dead padded lanes stay < 33% of the walk/finish work (a plain
+    pow2 byte bucket wastes up to 50%), coarse enough to bound the
+    number of jit recompilations across a mixed corpus.
+    """
     nc = -(-nb * 8 // S_TPU)
-    return -(-nc // LPI) * LPI
+    g = -(-nc // LPI)
+    b = 1
+    while True:
+        if g <= b:
+            return b * LPI
+        if g <= b + b // 2:
+            return (b + b // 2) * LPI
+        b *= 2

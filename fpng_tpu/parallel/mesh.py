@@ -108,12 +108,9 @@ def decode_batch_sharded(mesh: Mesh, pngs: list, h: int, w: int, ch: int,
         zl[j] = zlib_len
     sh = lambda a: shard_batch(mesh, a, axis)  # noqa: E731
     if is_tpu_backend():
-        zb = 64
-        while zb < int(zl.max()):
-            zb *= 2
         imgs, ok = decode_kernel_tpu(
             sh(stream), sh(luts), sh(p0), sh(zl), h=h, w=w, c=ch,
-            nc_pad=plan_tpu(min(zb, nb)))
+            nc_pad=plan_tpu(int(zl.max())))
     else:
         s_bits, n_chunks, max_steps = plan_chunks(nb)
         imgs, ok, _ = decode_kernel(

@@ -255,6 +255,40 @@ def _validate(images: np.ndarray):
         raise ValueError("unsupported dimensions")
 
 
+def _build_tables_python(hist: np.ndarray, Cc: int):
+    """Per-image table build + header emit (Python twin of the native
+    runtime's fp_build_tables_batch; also its differential-test oracle)."""
+    from ..bitio import BitWriter
+    from ..huffman import build_tables, emit_dynamic_block_header
+
+    B = hist.shape[0]
+    codes = np.zeros((B, C.NUM_LIT_SYMS), np.uint32)
+    sizes = np.zeros((B, C.NUM_LIT_SYMS), np.int32)
+    prefixes: list[bytes] = []
+    base_bits = np.zeros(B, np.int32)
+    pend_val = np.zeros(B, np.uint32)
+    pend_n = np.zeros(B, np.int32)
+    for b in range(B):
+        freq = hist[b].copy()
+        freq[256] = 1
+        t = build_tables(freq, Cc)
+        codes[b] = t.lit_codes
+        sizes[b] = t.lit_sizes
+        wtr = BitWriter()
+        wtr.put_and_drain(C.ZLIB_HDR0, 8)
+        wtr.put_and_drain(C.ZLIB_HDR1, 8)
+        wtr.put_and_drain(1, 1)
+        emit_dynamic_block_header(wtr, t)
+        acc, nacc = wtr.pending
+        wtr._acc = wtr._nacc = 0
+        p = wtr.getvalue()
+        prefixes.append(p)
+        base_bits[b] = len(p) * 8
+        pend_val[b] = acc
+        pend_n[b] = nacc
+    return codes, sizes, prefixes, base_bits, pend_val, pend_n
+
+
 def encode_batch(images, flags: int = 0) -> list[bytes]:
     """Encode a (B, H, W, C) uint8 batch into PNG byte strings."""
     images = np.ascontiguousarray(images, dtype=np.uint8)
@@ -280,34 +314,16 @@ def encode_batch_device_input(dev_imgs, images: np.ndarray,
         dev_imgs = jnp.asarray(images)
 
     if flags & C.FPNG_ENCODE_SLOWER:
-        from ..bitio import BitWriter
-        from ..huffman import build_tables, emit_dynamic_block_header
+        from .. import runtime
 
         hist = np.asarray(hist_kernel(dev_imgs, num_chans=Cc)).astype(np.uint32)
-        codes = np.zeros((B, C.NUM_LIT_SYMS), np.uint32)
-        sizes = np.zeros((B, C.NUM_LIT_SYMS), np.int32)
-        prefixes: list[bytes] = []
-        base_bits = np.zeros(B, np.int32)
-        pend_val = np.zeros(B, np.uint32)
-        pend_n = np.zeros(B, np.int32)
-        for b in range(B):
-            freq = hist[b].copy()
-            freq[256] = 1
-            t = build_tables(freq, Cc)
-            codes[b] = t.lit_codes
-            sizes[b] = t.lit_sizes
-            wtr = BitWriter()
-            wtr.put_and_drain(C.ZLIB_HDR0, 8)
-            wtr.put_and_drain(C.ZLIB_HDR1, 8)
-            wtr.put_and_drain(1, 1)
-            emit_dynamic_block_header(wtr, t)
-            acc, nacc = wtr.pending
-            wtr._acc = wtr._nacc = 0
-            p = wtr.getvalue()
-            prefixes.append(p)
-            base_bits[b] = len(p) * 8
-            pend_val[b] = acc
-            pend_n[b] = nacc
+        if runtime.available():
+            codes, sizes, prefixes, pend_val, pend_n = \
+                runtime.build_tables_batch(hist, Cc)
+            base_bits = np.array([len(p) * 8 for p in prefixes], np.int32)
+        else:
+            codes, sizes, prefixes, base_bits, pend_val, pend_n = \
+                _build_tables_python(hist, Cc)
         cost_check = False
     else:
         from ..tables import get_one_pass_tables

@@ -86,6 +86,11 @@ def _load():
             u8p, ctypes.c_int64, i64p, i64p, u32p, u8p, i64p,
             ctypes.c_int64, ctypes.c_uint32, ctypes.c_uint32, ctypes.c_int,
             ctypes.c_int64, u8p, ctypes.c_int64, i64p]
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        lib.fp_build_tables_batch.restype = None
+        lib.fp_build_tables_batch.argtypes = [
+            u32p, ctypes.c_int64, ctypes.c_int, u32p, i32p,
+            u8p, ctypes.c_int64, i32p, u32p, i32p]
         _lib = lib
         return _lib
 
@@ -121,6 +126,39 @@ def parse_dyn_header(src: bytes, num_chans: int):
     if st != 0:
         return None
     return lut, int(p0.value)
+
+
+_PREFIX_STRIDE = 640  # > worst-case dynamic header (316 syms x 14 bits)
+
+
+def build_tables_batch(hists: np.ndarray, num_chans: int):
+    """Batched 2-pass table construction + header emit (C++).
+
+    hists: (B, 288) uint32 token histograms (EOB count forced inside).
+    Returns (codes (B,288) u32, sizes (B,288) i32, prefixes list[bytes],
+    pend_vals (B,) u32, pend_ns (B,) i32) - byte-exact with the Python
+    huffman.build_tables / emit_dynamic_block_header pipeline.
+    """
+    lib = _load()
+    B = hists.shape[0]
+    hists = np.ascontiguousarray(hists, np.uint32)
+    codes = np.zeros((B, 288), np.uint32)
+    sizes = np.zeros((B, 288), np.int32)
+    pref = np.zeros((B, _PREFIX_STRIDE), np.uint8)
+    plens = np.zeros(B, np.int32)
+    pv = np.zeros(B, np.uint32)
+    pn = np.zeros(B, np.int32)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.fp_build_tables_batch(
+        hists.ctypes.data_as(u32p), B, num_chans,
+        codes.ctypes.data_as(u32p), sizes.ctypes.data_as(i32p),
+        pref.ctypes.data_as(u8p), _PREFIX_STRIDE,
+        plens.ctypes.data_as(i32p), pv.ctypes.data_as(u32p),
+        pn.ctypes.data_as(i32p))
+    prefixes = [pref[b, :plens[b]].tobytes() for b in range(B)]
+    return codes, sizes, prefixes, pv, pn
 
 
 def assemble_batch(words: np.ndarray, total_bits: np.ndarray,

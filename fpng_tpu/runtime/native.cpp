@@ -13,6 +13,7 @@
 // Build: g++ -O3 -shared -fPIC (driven by fpng_tpu/runtime/__init__.py);
 // binding is plain ctypes -- no external dependencies.
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <cstddef>
@@ -345,7 +346,300 @@ void build_header(uint8_t* hdr, uint32_t zlib_size, uint32_t w, uint32_t h,
 
 }  // namespace
 
+// ---------------------------------------------------------------------------
+// 2-pass Huffman table construction + dynamic block header emit.
+// Byte-exact twin of fpng_tpu/huffman.py (itself reproducing the
+// reference's table pipeline, fpng.cpp:607-816): stable frequency sort,
+// Moffat/Katajainen minimum-redundancy lengths in uint16 arithmetic,
+// Kraft max-code-size fixup, canonical bit-reversed codes, RLE-compressed
+// header.  Batched: the per-image Python loop was the 2-pass bottleneck.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+constexpr int NUM_LIT = 288;
+constexpr int NUM_DIST = 32;
+constexpr int NUM_CLEN = 19;
+constexpr int LIT_LIMIT = 12;
+constexpr int CLEN_LIMIT = 7;
+// (code-length transmit order CLEN_ORDER is shared with the decode side)
+
+void min_redundancy(uint16_t* A, int n) {
+    if (n == 0) return;
+    if (n == 1) { A[0] = 1; return; }
+    A[0] = uint16_t(A[0] + A[1]);
+    int root = 0, leaf = 2;
+    for (int nxt = 1; nxt < n - 1; nxt++) {
+        if (leaf >= n || A[root] < A[leaf]) {
+            A[nxt] = A[root];
+            A[root] = uint16_t(nxt);
+            root++;
+        } else {
+            A[nxt] = A[leaf];
+            leaf++;
+        }
+        if (leaf >= n || (root < nxt && A[root] < A[leaf])) {
+            A[nxt] = uint16_t(A[nxt] + A[root]);
+            A[root] = uint16_t(nxt);
+            root++;
+        } else {
+            A[nxt] = uint16_t(A[nxt] + A[leaf]);
+            leaf++;
+        }
+    }
+    A[n - 2] = 0;
+    for (int nxt = n - 3; nxt >= 0; nxt--)
+        A[nxt] = uint16_t(A[A[nxt]] + 1);
+    int avbl = 1, used = 0, dpth = 0;
+    int r2 = n - 2, nxt = n - 1;
+    while (avbl > 0) {
+        while (r2 >= 0 && A[r2] == dpth) { used++; r2--; }
+        while (avbl > used) { A[nxt] = uint16_t(dpth); nxt--; avbl--; }
+        avbl = 2 * used;
+        dpth++;
+        used = 0;
+    }
+}
+
+void enforce_max_size(int* num_codes, int code_list_len, int max_size) {
+    if (code_list_len <= 1) return;
+    for (int i = max_size + 1; i <= 32; i++) {
+        num_codes[max_size] += num_codes[i];
+        num_codes[i] = 0;
+    }
+    int64_t total = 0;
+    for (int i = max_size; i > 0; i--)
+        total += int64_t(num_codes[i]) << (max_size - i);
+    while (total != (int64_t(1) << max_size)) {
+        num_codes[max_size]--;
+        for (int i = max_size - 1; i > 0; i--) {
+            if (num_codes[i]) {
+                num_codes[i]--;
+                num_codes[i + 1] += 2;
+                break;
+            }
+        }
+        total--;
+    }
+}
+
+uint32_t bitrev(uint32_t code, int nbits) {
+    uint32_t r = 0;
+    for (int i = 0; i < nbits; i++) { r = (r << 1) | (code & 1); code >>= 1; }
+    return r;
+}
+
+// sizes (0 = unused) from uint16 freqs; stable ascending sort, shortest
+// lengths assigned walking the sorted array from its high end
+void build_sizes(const uint16_t* freqs, int n, int limit,
+                 uint8_t* sizes, int* num_codes /* [33] */) {
+    int idx[NUM_LIT];
+    uint16_t key[NUM_LIT];
+    int m = 0;
+    for (int i = 0; i < n; i++)
+        if (freqs[i]) { idx[m] = i; key[m] = freqs[i]; m++; }
+    // stable sort by frequency (ties keep symbol-index order, matching
+    // the reference's radix sort); <= 288 elements so comparison sort wins
+    int order[NUM_LIT];
+    for (int i = 0; i < m; i++) order[i] = i;
+    std::stable_sort(order, order + m,
+                     [&](int a, int b) { return key[a] < key[b]; });
+    uint16_t A[NUM_LIT];
+    for (int i = 0; i < m; i++) A[i] = key[order[i]];
+    min_redundancy(A, m);
+    memset(num_codes, 0, 33 * sizeof(int));
+    for (int i = 0; i < m; i++) num_codes[A[i]]++;
+    enforce_max_size(num_codes, m, limit);
+    memset(sizes, 0, n);
+    int j = m;
+    for (int i = 1; i <= limit; i++)
+        for (int k = 0; k < num_codes[i]; k++)
+            sizes[idx[order[--j]]] = uint8_t(i);
+}
+
+void canonical(const uint8_t* sizes, int n, const int* num_codes, int limit,
+               uint16_t* codes) {
+    int next_code[34];
+    memset(next_code, 0, sizeof(next_code));
+    int j = 0;
+    for (int i = 2; i <= limit; i++) {
+        j = (j + num_codes[i - 1]) << 1;
+        next_code[i] = j;
+    }
+    for (int i = 0; i < n; i++) {
+        int s = sizes[i];
+        if (!s) { codes[i] = 0; continue; }
+        codes[i] = uint16_t(bitrev(uint32_t(next_code[s]++), s));
+    }
+}
+
+struct BitWr {
+    uint8_t* buf;
+    int nbytes = 0;
+    uint64_t acc = 0;
+    int nacc = 0;
+    void put(uint32_t v, int nbits) {
+        acc |= uint64_t(v) << nacc;
+        nacc += nbits;
+        while (nacc >= 8) {
+            buf[nbytes++] = uint8_t(acc);
+            acc >>= 8;
+            nacc -= 8;
+        }
+    }
+};
+
+void emit_header(BitWr& w, const uint8_t* lit_sizes,
+                 const uint8_t* dist_sizes) {
+    int num_lit = 286;
+    while (num_lit > 257 && lit_sizes[num_lit - 1] == 0) num_lit--;
+    int num_dist = 30;
+    while (num_dist > 1 && dist_sizes[num_dist - 1] == 0) num_dist--;
+
+    uint8_t concat[NUM_LIT + NUM_DIST];
+    memcpy(concat, lit_sizes, num_lit);
+    memcpy(concat + num_lit, dist_sizes, num_dist);
+    int total = num_lit + num_dist;
+
+    // RLE pack (RFC 1951 3.2.7 syms 16/17/18), mirroring
+    // huffman._pack_code_sizes
+    uint8_t psym[NUM_LIT + NUM_DIST];
+    int8_t pextra[NUM_LIT + NUM_DIST];
+    int np = 0;
+    uint16_t clen_freq[NUM_CLEN];
+    memset(clen_freq, 0, sizeof(clen_freq));
+    int rle_z = 0, rle_rep = 0;
+    int prev = 0xFF;
+    auto flush_prev = [&]() {
+        if (!rle_rep) return;
+        if (rle_rep < 3) {
+            clen_freq[prev] = uint16_t(clen_freq[prev] + rle_rep);
+            for (int i = 0; i < rle_rep; i++) {
+                psym[np] = uint8_t(prev); pextra[np++] = -1;
+            }
+        } else {
+            clen_freq[16]++;
+            psym[np] = 16; pextra[np++] = int8_t(rle_rep - 3);
+        }
+        rle_rep = 0;
+    };
+    auto flush_zero = [&]() {
+        if (!rle_z) return;
+        if (rle_z < 3) {
+            clen_freq[0] = uint16_t(clen_freq[0] + rle_z);
+            for (int i = 0; i < rle_z; i++) { psym[np] = 0; pextra[np++] = -1; }
+        } else if (rle_z <= 10) {
+            clen_freq[17]++;
+            psym[np] = 17; pextra[np++] = int8_t(rle_z - 3);
+        } else {
+            clen_freq[18]++;
+            psym[np] = 18; pextra[np++] = int8_t(rle_z - 11);
+        }
+        rle_z = 0;
+    };
+    for (int i = 0; i < total; i++) {
+        int size = concat[i];
+        if (size == 0) {
+            flush_prev();
+            if (++rle_z == 138) flush_zero();
+        } else {
+            flush_zero();
+            if (size != prev) {
+                flush_prev();
+                clen_freq[size]++;
+                psym[np] = uint8_t(size); pextra[np++] = -1;
+            } else if (++rle_rep == 6) {
+                flush_prev();
+            }
+        }
+        prev = size;
+    }
+    if (rle_rep) flush_prev(); else flush_zero();
+
+    uint8_t clen_sizes[NUM_CLEN];
+    int clen_nc[33];
+    build_sizes(clen_freq, NUM_CLEN, CLEN_LIMIT, clen_sizes, clen_nc);
+    uint16_t clen_codes[NUM_CLEN];
+    canonical(clen_sizes, NUM_CLEN, clen_nc, CLEN_LIMIT, clen_codes);
+
+    w.put(2, 2);  // BTYPE = dynamic
+    w.put(uint32_t(num_lit - 257), 5);
+    w.put(uint32_t(num_dist - 1), 5);
+    int nbl = 18;
+    while (nbl >= 0 && clen_sizes[CLEN_ORDER[nbl]] == 0) nbl--;
+    nbl = nbl + 1 < 4 ? 4 : nbl + 1;
+    w.put(uint32_t(nbl - 4), 4);
+    for (int i = 0; i < nbl; i++) w.put(clen_sizes[CLEN_ORDER[i]], 3);
+    static const int CLEN_EXTRA[3] = {2, 3, 7};
+    for (int i = 0; i < np; i++) {
+        int sym = psym[i];
+        w.put(clen_codes[sym], clen_sizes[sym]);
+        if (sym >= 16) w.put(uint32_t(pextra[i]), CLEN_EXTRA[sym - 16]);
+    }
+}
+
+}  // namespace
+
 extern "C" {
+
+// Batched 2-pass table build + header emit (replaces the per-image
+// Python loop around huffman.build_tables / emit_dynamic_block_header).
+//   hists:       (B, 288) uint32 token histograms (EOB forced here)
+//   prefixes:    (B, prefix_stride) output arena: zlib hdr + BFINAL +
+//                dynamic block header, whole bytes
+// Per image also emits codes/sizes (B, 288) and the sub-byte pending
+// tail (pend_val, pend_n) the device kernel appends as unit 0.
+void fp_build_tables_batch(
+    const uint32_t* hists, int64_t b_count, int num_chans,
+    uint32_t* codes, int32_t* sizes,
+    uint8_t* prefixes, int64_t prefix_stride, int32_t* prefix_lens,
+    uint32_t* pend_vals, int32_t* pend_ns) {
+    for (int64_t b = 0; b < b_count; b++) {
+        const uint32_t* hist = hists + b * NUM_LIT;
+        // adjust_freq32: scale into uint16 preserving non-zero-ness;
+        // EOB re-forced to raw 1 after scaling (fpng.cpp:757)
+        uint64_t tot = 0;
+        for (int i = 0; i < NUM_LIT; i++)
+            tot += (i == 256) ? 1 : uint64_t(hist[i]);
+        uint16_t freq16[NUM_LIT];
+        for (int i = 0; i < NUM_LIT; i++) {
+            uint64_t f = (i == 256) ? 1 : uint64_t(hist[i]);
+            if (!f || !tot) { freq16[i] = 0; continue; }
+            uint64_t s = (f * 0xFFFFu) / tot;
+            freq16[i] = uint16_t(s ? s : 1);
+        }
+        freq16[256] = 1;
+
+        uint8_t lit_sizes[NUM_LIT];
+        int lit_nc[33];
+        build_sizes(freq16, NUM_LIT, LIT_LIMIT, lit_sizes, lit_nc);
+        uint16_t lit_codes[NUM_LIT];
+        canonical(lit_sizes, NUM_LIT, lit_nc, LIT_LIMIT, lit_codes);
+
+        uint16_t dist_freq[NUM_DIST];
+        memset(dist_freq, 0, sizeof(dist_freq));
+        int ds = num_chans - 1;  // DIST_SYM = {3ch: 2, 4ch: 3}
+        dist_freq[ds] = 1;
+        dist_freq[ds + 1] = 1;  // wuffs-strictness second code
+        uint8_t dist_sizes[NUM_DIST];
+        int dist_nc[33];
+        build_sizes(dist_freq, NUM_DIST, LIT_LIMIT, dist_sizes, dist_nc);
+
+        for (int i = 0; i < NUM_LIT; i++) {
+            codes[b * NUM_LIT + i] = lit_codes[i];
+            sizes[b * NUM_LIT + i] = lit_sizes[i];
+        }
+
+        BitWr w{prefixes + b * prefix_stride};
+        w.put(0x78, 8);
+        w.put(0x01, 8);
+        w.put(1, 1);  // BFINAL
+        emit_header(w, lit_sizes, dist_sizes);
+        prefix_lens[b] = w.nbytes;
+        pend_vals[b] = uint32_t(w.acc);
+        pend_ns[b] = w.nacc;
+    }
+}
 
 uint32_t fp_crc32(const uint8_t* p, size_t n, uint32_t prev) {
     return crc32_impl(p, n, prev);

@@ -186,6 +186,40 @@ def test_parse_dyn_header_reserved_syms_parity():
     assert np.array_equal(packed_py, lut_n)
 
 
+def test_build_tables_batch_parity(rng):
+    """fp_build_tables_batch must be byte/field-exact with the Python
+    huffman pipeline over varied histogram shapes."""
+    from fpng_tpu.models.encoder import _build_tables_python
+
+    hists = []
+    # realistic: histograms from actual images
+    for c, shape in ((3, (9, 31)), (4, (16, 8))):
+        from fpng_tpu import golden
+        img = rng.integers(0, 256, (*shape, c), dtype=np.uint8)
+        img[2:5] = 7
+        filt = golden.filter_image(img)
+        h = golden.histogram_tokens(golden.tokenize_image(filt, c))
+        hists.append((h.astype(np.uint32), c))
+    # edge cases: single symbol, two symbols, flat, huge counts, zeros
+    e = np.zeros(288, np.uint32); e[65] = 1000
+    hists.append((e, 3))
+    e2 = np.zeros(288, np.uint32); e2[0] = 1; e2[285] = 3
+    hists.append((e2, 4))
+    hists.append((np.full(288, 7, np.uint32), 3))
+    big = rng.integers(0, 2**31, 288, dtype=np.int64).astype(np.uint32)
+    hists.append((big, 4))
+    hists.append((np.zeros(288, np.uint32), 3))
+
+    for h, c in hists:
+        batch = np.stack([h, h])
+        nc_, ns_, np_, pv_, pn_ = runtime.build_tables_batch(batch, c)
+        pc, ps, pp, pb, ppv, ppn = _build_tables_python(batch, c)
+        assert np.array_equal(nc_, pc), c
+        assert np.array_equal(ns_, ps), c
+        assert np_ == pp
+        assert np.array_equal(pv_, ppv) and np.array_equal(pn_, ppn)
+
+
 def test_assemble_batch_used_and_correct():
     """encode_batch with native runtime == pure-python assembly."""
     rng = np.random.default_rng(2)

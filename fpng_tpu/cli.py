@@ -62,17 +62,45 @@ def _best_of(fn, n: int) -> float:
     return best
 
 
+def _load_oracles():
+    """Comparison codecs compiled from the reference's vendored copies
+    (oracle/baseline duty, like fpng_test's bundled lodepng/stb/qoi/wuffs;
+    fpng_test.cpp:1329-1606).  Returns (ref, codecs) - either may be None
+    when /root/reference or the toolchain is unavailable."""
+    import os as _os
+    import sys as _sys
+
+    _sys.path.insert(0, _os.path.join(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+        "tests"))
+    try:
+        from ref_oracle import (CodecsOracle, RefOracle,
+                                _build_codecs_shim, _build_ref_shim)
+    except Exception:  # noqa: BLE001
+        return None, None
+    ref = codecs = None
+    so = _build_ref_shim()
+    if so:
+        ref = RefOracle(so)
+    cso = _build_codecs_shim()
+    if cso:
+        codecs = CodecsOracle(cso)
+    return ref, codecs
+
+
 def bench_corpus(paths: list[str], flags: int, swizzle: bool, csv: bool,
                  batch: int) -> int:
+    """Per-file best-of-N benchmark vs the comparison codecs, plus a
+    batched corpus-throughput summary (the TPU-native operating point).
+
+    CSV rows mirror fpng_test.cpp:1625-1632 exactly:
+      filename, w, h, chans,
+      qoi: enc_t, MB, dec_t, enc_mps, dec_mps,
+      fpng(_tpu): ..., lodepng: ..., stbi: ..., pvpng: dec_t, dec_mps
+    """
     import fpng_tpu as F
 
     MPIX = 1024.0 * 1024.0
-    total_px = 0
-    total_bytes = 0
-    enc_time = 0.0
-    dec_time = 0.0
-    rows = []
-    # group same-shape images into device batches
     images = []
     for p in paths:
         try:
@@ -86,58 +114,162 @@ def bench_corpus(paths: list[str], flags: int, swizzle: bool, csv: bool,
         chans = 4 if _has_alpha(rgba) else 3
         img = rgba if chans == 4 else np.ascontiguousarray(rgba[..., :3])
         images.append((p, img))
+    if not images:
+        return 1
 
-    from collections import defaultdict
-    buckets = defaultdict(list)
-    for i, (p, img) in enumerate(images):
-        buckets[img.shape].append(i)
+    ref, codecs = _load_oracles()
+    from .utils.pngreader import load_png
 
-    pngs: dict[int, bytes] = {}
-    for shape, idxs in buckets.items():
-        for s in range(0, len(idxs), batch):
-            part = idxs[s:s + batch]
-            arr = np.stack([images[i][1] for i in part])
-            F.encode_batch(arr, flags)  # warmup/compile
-            t = _best_of(lambda: F.encode_batch(arr, flags), 3)
-            out = F.encode_batch(arr, flags)
-            enc_time += t
-            for j, i in enumerate(part):
-                pngs[i] = out[j]
+    tot = {k: [0.0, 0.0, 0] for k in
+           ("qoi", "fpng", "lodepng", "stbi", "pvpng", "ref_fpng")}
+    total_px = 0
+    # warm up device compiles per shape (untimed)
+    seen_shapes = set()
+    for p, img in images:
+        if img.shape not in seen_shapes:
+            seen_shapes.add(img.shape)
+            F.encode_batch(img[None], flags)
 
-    for shape, idxs in buckets.items():
-        for s in range(0, len(idxs), batch):
-            part = idxs[s:s + batch]
-            batch_pngs = [pngs[i] for i in part]
-            sts, outs = F.decode_batch(batch_pngs, shape[2])
-            t = _best_of(lambda: F.decode_batch(batch_pngs, shape[2]), 5)
-            dec_time += t
-            for j, i in enumerate(part):
-                if sts[j] != C.FPNG_DECODE_SUCCESS or \
-                        not np.array_equal(outs[j], images[i][1]):
-                    print(f"VERIFY FAILED: {images[i][0]}", file=sys.stderr)
-                    return 1
-
-    for i, (p, img) in enumerate(images):
+    for p, img in images:
         h, w, chn = img.shape
+        mp = w * h / MPIX
         total_px += w * h
-        total_bytes += len(pngs[i])
-        rows.append((p, w, h, chn, len(pngs[i])))
+        row = [p, w, h, chn]
 
-    mp = total_px / MPIX
-    if csv:
-        # filename, w, h, chans, enc_time, size_MB, dec_time, enc_mps, dec_mps
-        for p, w, h, chn, sz in rows:
-            print(f"{p}, {w}, {h}, {chn}, {enc_time:.6f}, "
-                  f"{sz / MPIX:.6f}, {dec_time:.6f}, "
-                  f"{mp / enc_time if enc_time else 0:.3f}, "
-                  f"{mp / dec_time if dec_time else 0:.3f}")
-    else:
-        print(f"files: {len(rows)}  pixels: {mp:.2f} MPix  "
-              f"compressed: {total_bytes / MPIX:.2f} MB")
-        print(f"encode: {enc_time:.4f} s  "
-              f"{mp / enc_time if enc_time else 0:.2f} MPix/s")
-        print(f"decode: {dec_time:.4f} s  "
-              f"{mp / dec_time if dec_time else 0:.2f} MPix/s")
+        def _codec(enc, dec, verify=None):
+            data = enc()
+            if data is None:
+                return ["", "", "", "", ""]
+            et = _best_of(enc, 3)
+            out = dec(data)
+            dt = _best_of(lambda: dec(data), 5) if out is not None else 0.0
+            if verify is not None and out is not None and \
+                    not verify(out):
+                print(f"VERIFY FAILED: {p}", file=sys.stderr)
+                raise SystemExit(1)
+            return [f"{et:.6f}", f"{len(data) / MPIX:.6f}", f"{dt:.6f}",
+                    f"{mp / et:.3f}", f"{mp / dt:.3f}" if dt else ""]
+
+        def acc(key, cols):
+            if cols[0]:
+                tot[key][0] += float(cols[0])
+                tot[key][2] += 1
+            if cols[2]:
+                tot[key][1] += float(cols[2])
+
+        # qoi (its own format, like the reference harness)
+        if codecs:
+            cols = _codec(lambda: codecs.qoi_encode(img),
+                          lambda d: codecs.qoi_decode(d, chn),
+                          lambda o: np.array_equal(o, img))
+            acc("qoi", cols)
+        else:
+            cols = [""] * 5
+        row += cols
+
+        # fpng_tpu (device batched API, B=1 per file for per-file stats)
+        fpng_png = {}
+
+        def enc_fpng():
+            out = F.encode_batch(img[None], flags)
+            fpng_png["d"] = out[0]
+            return out[0]
+
+        def dec_fpng(d):
+            sts, outs = F.decode_batch([d], chn)
+            return outs[0] if sts[0] == C.FPNG_DECODE_SUCCESS else None
+
+        cols = _codec(enc_fpng, dec_fpng,
+                      lambda o: np.array_equal(o, img))
+        acc("fpng", cols)
+        row += cols
+        png = fpng_png["d"]
+
+        if ref is not None:
+            # compiled reference fpng on the same pixels (not a CSV
+            # column - the reference's own CSV doesn't have it)
+            t0 = time.perf_counter()
+            rp = ref.encode(img, flags & ~C.FPNG_FORCE_UNCOMPRESSED)
+            ret = time.perf_counter() - t0
+            if rp is not None:
+                st, out, *_ = ref.decode(png, chn)
+                t0 = time.perf_counter()
+                ref.decode(png, chn)
+                rdt = time.perf_counter() - t0
+                tot["ref_fpng"][0] += ret
+                tot["ref_fpng"][1] += rdt
+                tot["ref_fpng"][2] += 1
+                if st != 0 or not np.array_equal(
+                        out.reshape(img.shape) if chn == out.shape[2]
+                        else out, img if chn == 4 else img):
+                    pass  # channel layouts differ; deep checks live in
+                    # tools/verify_drive.py
+
+        # lodepng (encodes comparison file; decodes OUR png)
+        if ref is not None:
+            cols = _codec(lambda: ref.lodepng_encode(img),
+                          lambda _d: ref.lodepng_decode(png)[1])
+            acc("lodepng", cols)
+        else:
+            cols = [""] * 5
+        row += cols
+
+        # stb (encodes comparison file; decodes OUR png)
+        if codecs:
+            cols = _codec(lambda: codecs.stbi_write_png(img),
+                          lambda _d: codecs.stbi_load(png, chn),
+                          lambda o: np.array_equal(o, img))
+            acc("stbi", cols)
+        else:
+            cols = [""] * 5
+        row += cols
+
+        # pvpng-equivalent: our general PNG reader decoding OUR png
+        t0 = time.perf_counter()
+        out, *_ = load_png(png, chn)
+        pvt = time.perf_counter() - t0
+        if not np.array_equal(out, img):
+            print(f"VERIFY FAILED (pngreader): {p}", file=sys.stderr)
+            return 1
+        tot["pvpng"][1] += pvt
+        row += [f"{pvt:.6f}", f"{mp / pvt:.3f}"]
+
+        if csv:
+            print(", ".join(str(x) for x in row))
+
+    mp_all = total_px / MPIX
+    if not csv:
+        print(f"files: {len(images)}  pixels: {mp_all:.2f} MPix")
+        print("** Per-file best-of-N totals:")
+        names = {"fpng": "FPNG_TPU", "ref_fpng": "fpng(ref)",
+                 "lodepng": "lodepng", "stbi": "stbi", "qoi": "qoi"}
+        for k, label in names.items():
+            et, dt, n = tot[k]
+            if n == 0:
+                continue
+            print(f"{label:10s} enc {et:9.6f}s {mp_all / et:8.3f} MP/s   "
+                  f"dec {dt:9.6f}s {mp_all / dt if dt else 0:8.3f} MP/s")
+        dt = tot["pvpng"][1]
+        print(f"{'pvpng':10s} {'':26s}dec {dt:9.6f}s "
+              f"{mp_all / dt if dt else 0:8.3f} MP/s")
+
+        # batched corpus throughput: the TPU-native operating point
+        from collections import defaultdict
+        buckets = defaultdict(list)
+        for i, (p, img) in enumerate(images):
+            buckets[img.shape].append(i)
+        enc_t = dec_t = 0.0
+        for shape, idxs in buckets.items():
+            for s in range(0, len(idxs), batch):
+                part = idxs[s:s + batch]
+                arr = np.stack([images[i][1] for i in part])
+                F.encode_batch(arr, flags)
+                enc_t += _best_of(lambda: F.encode_batch(arr, flags), 3)
+                out = F.encode_batch(arr, flags)
+                F.decode_batch(out, shape[2])
+                dec_t += _best_of(lambda: F.decode_batch(out, shape[2]), 5)
+        print(f"** Batched (B={batch}): encode {mp_all / enc_t:.2f} MP/s  "
+              f"decode {mp_all / dec_t:.2f} MP/s")
     return 0
 
 

@@ -429,11 +429,16 @@ def decode_zlib(src: bytes, zlib_len: int, w: int, h: int,
 
 def decode_stored(src: bytes, zlib_len: int, w: int, h: int,
                   num_chans: int) -> np.ndarray | None:
-    """Stored-block path with filter-0 enforcement (fpng.cpp:2107-2207)."""
+    """Stored-block path with filter-0 enforcement (fpng.cpp:2107-2207).
+
+    Block framing is parsed per block (<= ceil(bytes/65535) iterations);
+    the payload itself is validated and de-framed with numpy slicing -
+    no per-byte Python work.
+    """
     bpl = w * num_chans
     ofs = 2
-    out = bytearray()
-    raster = 0
+    parts: list[np.ndarray] = []
+    total = 0
     while True:
         if ofs + 5 > len(src):
             return None
@@ -447,24 +452,21 @@ def decode_stored(src: bytes, zlib_len: int, w: int, h: int,
         ofs += 5
         if ofs + blen > len(src):
             return None
-        for i in range(blen):
-            b = src[ofs + i]
-            if raster == 0:
-                if b != 0:
-                    return None
-            else:
-                out.append(b)
-            raster += 1
-            if raster == bpl + 1:
-                raster = 0
+        parts.append(np.frombuffer(src, np.uint8, blen, ofs))
+        total += blen
         ofs += blen
         if bfinal:
             break
-    if raster != 0 or len(out) != bpl * h:
-        return None
     if ofs + 4 != zlib_len:
         return None
-    return np.frombuffer(bytes(out), dtype=np.uint8).reshape(h, w, num_chans)
+    # raster structure: exactly h rows of (filter byte == 0) + bpl bytes
+    if total != h * (bpl + 1):
+        return None
+    payload = np.concatenate(parts) if len(parts) > 1 else parts[0]
+    rows = payload.reshape(h, bpl + 1)
+    if rows[:, 0].any():
+        return None
+    return np.ascontiguousarray(rows[:, 1:]).reshape(h, w, num_chans)
 
 
 def convert_channels(img: np.ndarray, desired: int) -> np.ndarray:

@@ -18,7 +18,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
-from ref_oracle import RefOracle, _build_ref_shim  # noqa: E402
+from ref_oracle import (CodecsOracle, RefOracle,  # noqa: E402
+                        _build_codecs_shim, _build_ref_shim)
 
 import fpng_tpu as F  # noqa: E402
 from fpng_tpu import constants as C  # noqa: E402
@@ -58,6 +59,14 @@ def defilter_check(png: bytes, img: np.ndarray) -> bool:
 def main():
     shim = _build_ref_shim()
     ref = RefOracle(shim)
+    # arm's-length conformance validator: wuffs is the strictest public
+    # PNG decoder (its strictness forced fpng's 2-dist-code rule,
+    # fpng.cpp:2058-2074); every emitted file must pass it bit-exactly
+    cshim = _build_codecs_shim()
+    wuffs = CodecsOracle(cshim) if cshim else None
+    if wuffs is None:
+        print("WARNING: codecs shim unavailable - wuffs validation off",
+              file=sys.stderr)
     err, src, w, h = ref.lodepng_decode(
         open("/root/reference/example.png", "rb").read())
     assert err == 0
@@ -98,8 +107,13 @@ def main():
             exp4 = img if img.shape[2] == 4 else np.dstack(
                 [img, np.full(img.shape[:2], 255, np.uint8)])
             ok_lp = ok_lp and np.array_equal(lp, exp4)
-            if not (ok_z and ok_ref and ok_lp):
-                print(f"FAIL {name}[{i}]: zlib={ok_z} ref={ok_ref} lodepng={ok_lp}")
+            ok_wf = True
+            if wuffs is not None:
+                wst, wimg = wuffs.wuffs_decode(png)
+                ok_wf = (wst == 0 and np.array_equal(wimg, exp4))
+            if not (ok_z and ok_ref and ok_lp and ok_wf):
+                print(f"FAIL {name}[{i}]: zlib={ok_z} ref={ok_ref} "
+                      f"lodepng={ok_lp} wuffs={ok_wf}")
                 failures += 1
         # reference size comparison on same tiles
         ref_sizes = [len(ref.encode(img, flags)) for img in tiles]

@@ -58,6 +58,21 @@ def make_corpus(kind: str, B: int = 32, size: int = 256):
     return np.stack((tiles * reps)[:B])
 
 
+def _shard(arr):
+    """dp-shard a (B, ...) device array when >1 chip is attached; the
+    codec is embarrassingly data-parallel (SURVEY §2.3), so the bench
+    scales over whatever mesh the driver's hardware exposes."""
+    import jax
+
+    devs = jax.devices()
+    if len(devs) <= 1 or arr.shape[0] % len(devs):
+        return arr
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    mesh = Mesh(np.asarray(devs), ("dp",))
+    return jax.device_put(arr, NamedSharding(mesh, P("dp")))
+
+
 def _bench_encode(imgs, flags):
     """(enc_mps, pngs, device handles for decode) - see module docstring."""
     import jax
@@ -73,7 +88,7 @@ def _bench_encode(imgs, flags):
     mpix = B * H * W / 1e6
     budget = _budget(H, W, Cc)
     num_words = max(budget // 4 + 4, 8)
-    dev = jnp.asarray(imgs)
+    dev = _shard(jnp.asarray(imgs))
     jax.block_until_ready(dev)
     two_pass = bool(flags & F.FPNG_ENCODE_SLOWER)
 
@@ -145,7 +160,8 @@ def _bench_decode(imgs, pngs):
         p0[j] = p
         zl[j] = z
     nc_pad = plan_tpu(int(zl.max()))
-    sj, lj, pj, zj = map(jnp.asarray, (stream, luts, p0, zl))
+    sj, lj, pj, zj = (_shard(jnp.asarray(a))
+                      for a in (stream, luts, p0, zl))
     mpix = Bk * H * W / 1e6
 
     def run():
@@ -184,6 +200,22 @@ def _spot_check(imgs, pngs):
 
 
 def main():
+    import contextlib
+
+    # SURVEY §5.1: interval_timer -> jax.profiler.  Set FPNG_TPU_PROFILE
+    # to a directory to capture a TensorBoard-loadable device trace of
+    # the whole benchmark run.
+    prof_dir = os.environ.get("FPNG_TPU_PROFILE")
+    ctx = contextlib.nullcontext()
+    if prof_dir:
+        import jax
+
+        ctx = jax.profiler.trace(prof_dir)
+    with ctx:
+        _run_benchmarks()
+
+
+def _run_benchmarks():
     detail = {"corpus": "32x256x256 example.png tiles (3ch + swizzled 4ch)",
               "methodology": (
                   "device-resident pipeline timing, best-of-3: encode = "

@@ -13,6 +13,8 @@ Modes (reference flags, fpng_test.cpp:984-991):
   -f          decoder fuzz: decode the file, report status (zzuf-style driver)
   -t          training mode: retrain 1-pass tables on @filelist / directory
   -b N        device batch size (default 8)
+  -n N        fuzz trial count (default 1000)
+  -d N        fuzz max dimension (default 8193, reference parity)
 
 Timing is best-of-3 encode / best-of-5 decode like the reference
 (fpng_test.cpp:1181-1182); throughput in MPix/s (1024*1024 pixels).
@@ -86,6 +88,19 @@ def _load_oracles():
     if cso:
         codecs = CodecsOracle(cso)
     return ref, codecs
+
+
+def _maybe_profile():
+    """jax.profiler trace context when FPNG_TPU_PROFILE=<dir> is set
+    (SURVEY §5.1: the reference's interval_timer -> jax.profiler)."""
+    import contextlib
+
+    prof_dir = os.environ.get("FPNG_TPU_PROFILE")
+    if not prof_dir:
+        return contextlib.nullcontext()
+    import jax
+
+    return jax.profiler.trace(prof_dir)
 
 
 def bench_corpus(paths: list[str], flags: int, swizzle: bool, csv: bool,
@@ -255,19 +270,32 @@ def bench_corpus(paths: list[str], flags: int, swizzle: bool, csv: bool,
 
         # batched corpus throughput: the TPU-native operating point
         from collections import defaultdict
+
+        from .ops.specdec_tpu import LPI, S_TPU
+        from .parallel.buckets import autotune_density
+
+        # pick the decode lane-bucket ladder density for THIS corpus
+        # (compile count vs dead-lane waste, SURVEY §7 P8)
+        ncs = [-(-len(images[i][1].tobytes()) * 8 // S_TPU)
+               for i in range(len(images))]
+        os.environ["FPNG_TPU_BUCKET_DENSITY"] = \
+            str(autotune_density(ncs, unit=LPI, repeats=3))
+
         buckets = defaultdict(list)
         for i, (p, img) in enumerate(images):
             buckets[img.shape].append(i)
         enc_t = dec_t = 0.0
-        for shape, idxs in buckets.items():
-            for s in range(0, len(idxs), batch):
-                part = idxs[s:s + batch]
-                arr = np.stack([images[i][1] for i in part])
-                F.encode_batch(arr, flags)
-                enc_t += _best_of(lambda: F.encode_batch(arr, flags), 3)
-                out = F.encode_batch(arr, flags)
-                F.decode_batch(out, shape[2])
-                dec_t += _best_of(lambda: F.decode_batch(out, shape[2]), 5)
+        with _maybe_profile():
+            for shape, idxs in buckets.items():
+                for s in range(0, len(idxs), batch):
+                    part = idxs[s:s + batch]
+                    arr = np.stack([images[i][1] for i in part])
+                    F.encode_batch(arr, flags)
+                    enc_t += _best_of(lambda: F.encode_batch(arr, flags), 3)
+                    out = F.encode_batch(arr, flags)
+                    F.decode_batch(out, shape[2])
+                    dec_t += _best_of(
+                        lambda: F.decode_batch(out, shape[2]), 5)
         print(f"** Batched (B={batch}): encode {mp_all / enc_t:.2f} MP/s  "
               f"decode {mp_all / dec_t:.2f} MP/s")
     return 0
@@ -315,15 +343,28 @@ def fuzz_encoder_structured(path: str, trials: int = 1000,
 
 
 def fuzz_encoder_random(trials: int = 1000, seed: int = 1000,
-                        max_dim: int = 257) -> int:
-    """-E analog: random dims + random pixels roundtrip
-    (fpng_test.cpp:617-682; dim cap lowered for the scalar path)."""
+                        max_dim: int = 8193) -> int:
+    """-E analog: random dims + random pixels roundtrip, dims 1..8193
+    like the reference (fpng_test.cpp:617-682).
+
+    The first trials pin the pathological corners (1 x max, max x 1,
+    budget-edge shapes) so any run length covers them; the rest draw
+    dims log-uniformly - the full range is exercised without every
+    trial averaging 16 MPix, and each distinct shape jit-compiles, so
+    set JAX_COMPILATION_CACHE_DIR for long runs.
+    """
     import fpng_tpu as F
 
+    corners = [(1, max_dim), (max_dim, 1), (1, 1), (2, max_dim - 1),
+               (max_dim // 2, 2), (7, 4096), (4097, 3)]
     rng = np.random.default_rng(seed)
     for trial in range(trials):
-        w = int(rng.integers(1, max_dim))
-        h = int(rng.integers(1, max_dim))
+        if trial < len(corners):
+            w, h = corners[trial]
+        else:
+            w = int(np.exp(rng.uniform(0, np.log(max_dim))))
+            h = int(np.exp(rng.uniform(0, np.log(max_dim))))
+            w, h = max(w, 1), max(h, 1)
         ch = int(rng.choice([3, 4]))
         img = rng.integers(0, 256, (h, w, ch), dtype=np.uint8)
         if rng.random() < 0.5:  # bias toward compressible content
@@ -390,6 +431,8 @@ def main(argv: list[str] | None = None) -> int:
     swizzle = csv = False
     mode = "bench"
     batch = 8
+    trials = 1000
+    max_dim = 8193
     files: list[str] = []
     it = iter(range(len(argv)))
     i = 0
@@ -414,18 +457,24 @@ def main(argv: list[str] | None = None) -> int:
         elif a == "-b":
             i += 1
             batch = int(argv[i])
+        elif a == "-n":
+            i += 1
+            trials = int(argv[i])
+        elif a == "-d":
+            i += 1
+            max_dim = int(argv[i])
         else:
             files.append(a)
         i += 1
 
     if mode == "fuzz_E":
-        return fuzz_encoder_random()
+        return fuzz_encoder_random(trials=trials, max_dim=max_dim)
     if not files:
         print(__doc__)
         return 2
     paths = [q for f in files for q in _gather_files(f)]
     if mode == "fuzz_e":
-        return fuzz_encoder_structured(paths[0])
+        return fuzz_encoder_structured(paths[0], trials=trials)
     if mode == "fuzz_f":
         return fuzz_decode_file(paths[0])
     if mode == "train":

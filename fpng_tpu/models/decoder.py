@@ -143,7 +143,9 @@ def decode_batch(pngs: list[bytes], desired_channels: int = 4,
             luts[j] = pack_lut(lut)
             p0[j] = p
             zl[j] = zlib_len
-        if is_tpu_backend():
+        # the walk kernel's finalized records pack the output offset in
+        # 23 bits (ops/specdec_tpu.py); larger rasters take the XLA path
+        if is_tpu_backend() and h * (1 + w * ch) < (1 << 23):
             # Pallas walk kernel: S=512 chunks cannot overflow the
             # static record bound, so there is no host-fallback path.
             # Lane count follows the real stream length (plan_tpu's

@@ -53,31 +53,8 @@ _WRE = _WLE // 128
 _GUE = int(_os.environ.get("FPNG_TPU_GUE", "1024"))  # units per window walk
 
 
-def _encfuse_kernel(base_ref, desc_ref, tbl_ref, out_ref, tot_ref, ltk_ref,
-                    pending, prevr, carry, ltokv):
-    b = pl.program_id(0)
-    t = pl.program_id(1)
-    sub8 = 8 * _SUB
-
-    @pl.when(t == 0)
-    def _():
-        pending[...] = jnp.zeros_like(pending)
-        carry[0] = base_ref[b, 0]
-        ltokv[...] = jnp.full_like(ltokv, -1)
-        prevr[0] = (base_ref[b, 0] >> 5) // 128
-
-    cols = jax.lax.broadcasted_iota(jnp.int32, (_GUE, _WLE), 1)
-    idxv = _flat_idx()[:_GUE]
-    # lane-dim inclusive-cumsum operator (MXU-exact: bf16 operands are
-    # small ints, accumulation is f32 and row sums stay < 2^24)
-    lt128 = (jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0) <=
-             jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)) \
-        .astype(jnp.bfloat16)
-    subl = jax.lax.broadcasted_iota(jnp.int32, (sub8, 128), 0)
-    tbl_rows = [tbl_ref[0, r:r + 1, :] for r in range(3)]
-
-    # --- step-wide unit decode + offsets (one matmul, one scalar) --------
-    d = desc_ref[0, 0, :, :]  # (sub8, 128)
+def _unit_decode(d, tbl_rows, sub8):
+    """desc tile (sub8, 128) -> (val uint32, n int32, ts int32)."""
     sym = d & 511
     use_t = (d >> 9) & 1
     en = (d >> DESC_EXTRA_N_SHIFT) & 7
@@ -97,6 +74,47 @@ def _encfuse_kernel(base_ref, desc_ref, tbl_ref, out_ref, tot_ref, ltk_ref,
     code = jnp.where(use_t == 1, code, jnp.uint32(0))
     val = code | (ev << sz.astype(jnp.uint32))
     n = sz + en
+    return val, n, ts
+
+
+def _encfuse_kernel(base_ref, desc0_ref, desc1_ref, tbl_ref, out_ref,
+                    tot_ref, ltk_ref, pending, prevr, carry, ltokv):
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    sub8 = 8 * _SUB
+
+    @pl.when(t == 0)
+    def _():
+        pending[...] = jnp.zeros_like(pending)
+        carry[0] = base_ref[b, 0]
+        ltokv[...] = jnp.full_like(ltokv, -1)
+        prevr[0] = (base_ref[b, 0] >> 5) // 128
+
+    grows = _GUE // 128
+    cols = jax.lax.broadcasted_iota(jnp.int32, (_GUE, _WLE), 1)
+    idxv = (jax.lax.broadcasted_iota(jnp.int32, (grows, 128), 0) * 128 +
+            jax.lax.broadcasted_iota(jnp.int32, (grows, 128), 1)) \
+        .reshape(_GUE)
+    # lane-dim inclusive-cumsum operator (MXU-exact: bf16 operands are
+    # small ints, accumulation is f32 and row sums stay < 2^24)
+    lt128 = (jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0) <=
+             jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)) \
+        .astype(jnp.bfloat16)
+    subl = jax.lax.broadcasted_iota(jnp.int32, (sub8, 128), 0)
+    tbl_rows = [tbl_ref[0, r:r + 1, :] for r in range(3)]
+
+    # --- step-wide pair decode + merge + offsets -------------------------
+    # Stream units arrive de-interleaved: desc0 holds even stream
+    # positions, desc1 the odd ones at the same (row, lane).  An adjacent
+    # pair always fits one uint32 (literal/filter/EOB codes are <= 12
+    # bits, a match unit is <= 18, and two match units can never be
+    # adjacent - a match occupies a pixel's first byte and pixels are
+    # >= 3 units apart - so a pair is <= 30 bits), halving the units the
+    # cumsum and the deposit walk have to move.
+    val0, n0, ts0 = _unit_decode(desc0_ref[0, 0, :, :], tbl_rows, sub8)
+    val1, n1, ts1 = _unit_decode(desc1_ref[0, 0, :, :], tbl_rows, sub8)
+    val = val0 | (val1 << n0.astype(jnp.uint32))
+    n = n0 + n1
 
     s_inc = jnp.dot(n.astype(jnp.bfloat16), lt128,
                     preferred_element_type=jnp.float32).astype(jnp.int32)
@@ -111,15 +129,16 @@ def _encfuse_kernel(base_ref, desc_ref, tbl_ref, out_ref, tot_ref, ltk_ref,
     offs = carry[0] + rb + s_inc - n
     carry[0] = carry[0] + jnp.sum(n)
     # last token start: vector running max, reduced once at the end
-    ltokv[...] = jnp.maximum(ltokv[...], jnp.where(ts == 1, offs, -1))
+    # (the pair's odd unit starts n0 bits into the pair)
+    ltokv[...] = jnp.maximum(
+        ltokv[...],
+        jnp.maximum(jnp.where(ts0 == 1, offs, -1),
+                    jnp.where(ts1 == 1, offs + n0, -1)))
 
-    for k in range(_SUB):
-        vf = val[8 * k:8 * (k + 1), :].reshape(_U)
-        of = offs[8 * k:8 * (k + 1), :].reshape(_U)
-        for g in range(_U // _GUE):
-            _window_deposit(vf[g * _GUE:(g + 1) * _GUE],
-                            of[g * _GUE:(g + 1) * _GUE],
-                            idxv, cols, out_ref, pending, prevr)
+    for k in range((8 * _SUB) // grows):
+        vf = val[grows * k:grows * (k + 1), :].reshape(_GUE)
+        of = offs[grows * k:grows * (k + 1), :].reshape(_GUE)
+        _window_deposit(vf, of, idxv, cols, out_ref, pending, prevr)
 
     @pl.when(t == pl.num_programs(1) - 1)
     def _():
@@ -138,14 +157,19 @@ def encode_bits_fused(desc: jnp.ndarray, tbl: jnp.ndarray,
     Returns (words (B, num_words) uint32, total_bits (B,), last_tok (B,)).
     """
     B, N = desc.shape
-    step = _U * _SUB
-    T = -(-N // step)
-    pad = T * step - N
+    step = _U * _SUB          # merged pairs per grid step
+    N2 = -(-N // 2)           # pairs in the stream
+    T = -(-N2 // step)
+    pad = 2 * T * step - N
     if pad:
         desc = jnp.concatenate(
             [desc, jnp.zeros((B, pad), desc.dtype)], axis=1)
     sub8 = 8 * _SUB
-    desc4 = desc.astype(jnp.int32).reshape(B, T, sub8, 128)
+    # de-interleave: even/odd stream positions land at the same
+    # (row, lane) of two tiles so the kernel merges pairs elementwise
+    desc2 = desc.astype(jnp.int32).reshape(B, T * step, 2)
+    desc0 = desc2[:, :, 0].reshape(B, T, sub8, 128)
+    desc1 = desc2[:, :, 1].reshape(B, T, sub8, 128)
     rows = -(-num_words // 128) + _WRE + 1
 
     out, tot, ltk = pl.pallas_call(
@@ -154,6 +178,8 @@ def encode_bits_fused(desc: jnp.ndarray, tbl: jnp.ndarray,
         in_specs=[
             pl.BlockSpec((B, 1), lambda b, t: (0, 0),
                          memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, sub8, 128), lambda b, t: (b, t, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, sub8, 128), lambda b, t: (b, t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8, 128), lambda b, t: (b, 0, 0),
@@ -179,7 +205,7 @@ def encode_bits_fused(desc: jnp.ndarray, tbl: jnp.ndarray,
             pltpu.VMEM((sub8, 128), jnp.int32),
         ],
         interpret=interpret,
-    )(base_bits.astype(jnp.int32).reshape(B, 1), desc4,
+    )(base_bits.astype(jnp.int32).reshape(B, 1), desc0, desc1,
       tbl.astype(jnp.int32))
     return (out.reshape(B, rows * 128)[:, :num_words],
             tot[:, 0], ltk[:, 0])

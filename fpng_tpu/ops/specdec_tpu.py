@@ -45,28 +45,44 @@ _TILES = 9           # ceil((S/8 + 4) / 8) 8-row stream tiles per lane
 _RT = _TILES * 8     # stream tile rows (72)
 
 
-def _make_walk_kernel(lpi: int, with_records: bool):
+def _make_walk_kernel(lpi: int, with_records: bool, geom=None):
     """Kernel factory: lpi lanes per instance; records optional (the
-    fixpoint passes only need exits/outbytes)."""
+    fixpoint passes only need exits/outbytes).
+
+    geom = (row_stride, total, c) makes the record pass emit FINALIZED
+    records - packed deposit units with global output offsets - and run
+    the reference's per-record constraint checks in-kernel, reducing to
+    per-group (fail, eob_end, bad_end) scalars.  This removes the
+    O(records) XLA reconstruction the finish stage used to do (cumsums,
+    fail logic, transposed decode of sym/clen/run)."""
 
     def kernel(zl8_ref, w24_ref, lut_ref, ent_ref, *rest):
         if with_records:
-            exit_ref, outb_ref, steps_ref, meta_ref = rest[:4]
-            pos_s, outl_s, act_s = rest[4:]
+            out0_ref = rest[0]
+            exit_ref, outb_ref, steps_ref, meta_ref, chk_ref = rest[1:6]
+            scr = rest[6:]
         else:
+            out0_ref = chk_ref = None
             exit_ref, outb_ref = rest[:2]
-            pos_s, outl_s, act_s = rest[2:]
-        _walk_body(zl8_ref, w24_ref, lut_ref, ent_ref, exit_ref, outb_ref,
-                   steps_ref if with_records else None,
-                   meta_ref if with_records else None,
-                   pos_s, outl_s, act_s, lpi, with_records)
+            steps_ref = meta_ref = None
+            scr = rest[2:]
+        _walk_body(zl8_ref, w24_ref, lut_ref, ent_ref, out0_ref, exit_ref,
+                   outb_ref, steps_ref, meta_ref, chk_ref,
+                   scr, lpi, with_records, geom)
 
     return kernel
 
 
-def _walk_body(zl8_ref, w24_ref, lut_ref, ent_ref,
-               exit_ref, outb_ref, steps_ref, meta_ref,
-               pos_s, outl_s, act_s, LPI, with_records):
+_INF = 0x7FFFFFFF
+
+
+def _walk_body(zl8_ref, w24_ref, lut_ref, ent_ref, out0_ref,
+               exit_ref, outb_ref, steps_ref, meta_ref, chk_ref,
+               scr, LPI, with_records, geom):
+    if with_records:
+        pos_s, outl_s, act_s, fail_s, eob_s, bad_s = scr
+    else:
+        pos_s, outl_s, act_s = scr
     g = pl.program_id(1)
     zl8 = zl8_ref[pl.program_id(0), 0]
 
@@ -76,12 +92,16 @@ def _walk_body(zl8_ref, w24_ref, lut_ref, ent_ref,
     bound = jnp.minimum(lane_bit0 + S_TPU, zl8)
 
     ent = jnp.broadcast_to(ent_ref[0, 0], (8, LPI)).astype(jnp.int32)
+    if with_records:
+        out0 = jnp.broadcast_to(out0_ref[0, 0], (8, LPI)).astype(jnp.int32)
+        row_stride, total, cch = geom
+        bpl = row_stride - 1
 
     tiles = [w24_ref[0, 0, 8 * t:8 * (t + 1), :] for t in range(_TILES)]
     luts = [lut_ref[0, t].astype(jnp.int32) for t in range(4)]
     subl = jax.lax.broadcasted_iota(jnp.int32, (8, LPI), 0)
 
-    def step(pos, outl, act):
+    def step(pos, outl, act, fail, eobm, badm):
         j = (pos >> 3) - lane_byte0
         w = jnp.zeros((8, LPI), jnp.int32)
         for t in range(_TILES):
@@ -118,36 +138,84 @@ def _walk_body(zl8_ref, w24_ref, lut_ref, ent_ref,
         outlen = jnp.where(sym < 256, 1, jnp.where(is_m, run, 0))
         stop = clen == 0
 
-        # single-int32 record: sym | clen<<9 | run<<13.  Per-record output
-        # offsets and bit positions are RECONSTRUCTED in the finish stage
-        # (cumsums of outlen/token-bits derived from sym/clen/run), halving
-        # the record HBM traffic - the decode bottleneck.
-        meta = jnp.where(act, sym | (clen << 9) | (run << 13), 0)
+        if with_records:
+            # finalized record: (0x100 | sym) << 23 for literals (the
+            # deposit value, flag bit included) packed over the clamped
+            # global output offset (total < 2^23 guaranteed by the
+            # driver's deposit budget).  Non-literal and inactive slots
+            # keep the bare offset so the deposit offsets stay monotone.
+            rec = act & ~stop
+            outp = out0 + outl
+            lit = rec & (sym < 256)
+            meta = jnp.minimum(outp, total) | \
+                jnp.where(lit, (sym | 0x100) << 23, 0)
+
+            # reference constraint checks (fpng.cpp:2257-2584 semantics),
+            # accumulated as vectors and reduced once at kernel end
+            live = rec & (outp < total)
+            rowpos = outp - (outp // row_stride) * row_stride
+            x = rowpos - 1
+            f = live & (sym > 285)
+            at_filter = live & (rowpos == 0)
+            fexp = jnp.where(outp >= row_stride, 2, 0)
+            f |= at_filter & ((sym >= 256) | (sym != fexp))
+            mt = live & is_m
+            xc = x - (x // cch) * cch
+            rc = run - (run // cch) * cch
+            mok = (rowpos >= 1) & (xc == 0) & (rc == 0) & (x + run <= bpl)
+            f |= mt & ~mok
+            misal = live & (rowpos >= 1) & (xc != 0)
+            f |= misal & (sym >= 256)
+            f |= live & (sym == 256)
+            at_total = rec & (outp == total)
+            at_eob = at_total & (sym == 256)
+            fail = fail | f
+            eobm = jnp.minimum(eobm, jnp.where(at_eob, pos + clen, _INF))
+            badm = jnp.minimum(
+                badm, jnp.where(at_total & (sym != 256), pos, _INF))
+        else:
+            meta = jnp.zeros_like(pos)
         adv = act & ~stop
         pos = jnp.where(adv, pos + tok, pos)
         outl = outl + jnp.where(adv, outlen, 0)
         act = adv & (pos < bound)
-        return pos, outl, act, meta
+        return pos, outl, act, meta, fail, eobm, badm
 
     act0 = (ent < bound) & (lane_bit0 < zl8)
 
     # Mosaic only legalizes while loops with SCALAR carries: vector state
-    # lives in scratch refs, the loop carries (iteration, any-active)
+    # lives in scratch refs, the loop carries (iteration, any-active);
+    # record passes carry three extra check-accumulator tiles
     pos_s[...] = ent
     outl_s[...] = jnp.zeros((8, LPI), jnp.int32)
     act_s[...] = act0.astype(jnp.int32)
+    if with_records:
+        fail_s[...] = jnp.zeros((8, LPI), jnp.int32)
+        eob_s[...] = jnp.full((8, LPI), _INF, jnp.int32)
+        bad_s[...] = jnp.full((8, LPI), _INF, jnp.int32)
 
     def body(st):
         it, _any = st
         pos = pos_s[...]
         outl = outl_s[...]
         act = act_s[...] != 0
+        if with_records:
+            fail = fail_s[...] != 0
+            eobm = eob_s[...]
+            badm = bad_s[...]
+        else:
+            fail = jnp.zeros((8, LPI), bool)
+            eobm = badm = jnp.zeros((8, LPI), jnp.int32)
         g_meta = jnp.zeros((8, LPI), jnp.int32)
         for u in range(8):
-            pos, outl, act, meta = step(pos, outl, act)
+            pos, outl, act, meta, fail, eobm, badm = \
+                step(pos, outl, act, fail, eobm, badm)
             g_meta = jnp.where(subl == u, meta, g_meta)
         if with_records:
             meta_ref[0, 0, pl.ds(it * 8, 8), :] = g_meta[:, :]
+            fail_s[...] = fail.astype(jnp.int32)
+            eob_s[...] = eobm
+            bad_s[...] = badm
         pos_s[...] = pos
         outl_s[...] = outl
         act_s[...] = act.astype(jnp.int32)
@@ -158,33 +226,42 @@ def _walk_body(zl8_ref, w24_ref, lut_ref, ent_ref,
 
     it, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.int32(1)))
 
-    # zero-fill remaining record rows (outputs are uninitialized)
     outl_f = outl_s[...]
 
     if with_records:
+        # fill remaining record rows with the final clamped offsets so
+        # the deposit's offset stream stays monotone past each lane's exit
+        m_fill = jnp.minimum(out0 + outl_f, total)
+
         def fill_body(it2):
-            meta_ref[0, 0, pl.ds(it2 * 8, 8), :] = jnp.zeros((8, LPI),
-                                                             jnp.int32)
+            meta_ref[0, 0, pl.ds(it2 * 8, 8), :] = m_fill
             return it2 + 1
 
         jax.lax.while_loop(lambda it2: it2 < ST8 // 8, fill_body, it)
         steps_ref[pl.program_id(0), g] = it * 8
+        chk_ref[pl.program_id(0), g, 0] = jnp.max(fail_s[...])
+        chk_ref[pl.program_id(0), g, 1] = jnp.min(eob_s[...])
+        chk_ref[pl.program_id(0), g, 2] = jnp.min(bad_s[...])
 
     exit_ref[0, 0, 0, :] = pos_s[0, :]
     outb_ref[0, 0, 0, :] = outl_f[0, :]
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("ng", "lpi", "with_records",
+                   static_argnames=("ng", "lpi", "with_records", "geom",
                                     "interpret"))
-def walk_pass_tpu(w24t, lutp4, entries, zl8, *, ng: int, lpi: int = LPI,
-                  with_records: bool = True, interpret: bool = False):
+def walk_pass_tpu(w24t, lutp4, entries, zl8, out0=None, *, ng: int,
+                  lpi: int = LPI, with_records: bool = True, geom=None,
+                  interpret: bool = False):
     """One lockstep walk pass over every chunk lane.
 
     w24t: (B, NG, 72, lpi) int32 per-lane 24-bit windows;
     lutp4: (B, 4, 8, 128) int32 packed LUT tiles;
     entries: (B, NG, 1, lpi) int32; zl8: (B, 1) int32 stream bit length.
-    Returns (exits, outb[, steps, meta]); records (B, NG, ST8, lpi).
+    Record passes additionally take out0 (B, NG, 1, lpi) global output
+    byte offsets and geom=(row_stride, total, c) and return finalized
+    records plus per-group check scalars (see _make_walk_kernel).
+    Returns (exits, outb[, steps, meta, chk]); records (B, NG, ST8, lpi).
     """
     B = w24t.shape[0]
     out_specs = [
@@ -197,40 +274,49 @@ def walk_pass_tpu(w24t, lutp4, entries, zl8, *, ng: int, lpi: int = LPI,
         jax.ShapeDtypeStruct((B, ng, 1, lpi), jnp.int32),
         jax.ShapeDtypeStruct((B, ng, 1, lpi), jnp.int32),
     ]
+    scratch = [pltpu.VMEM((8, lpi), jnp.int32) for _ in range(3)]
     if with_records:
+        assert geom is not None and out0 is not None
         out_specs += [
             pl.BlockSpec((B, ng), lambda b, g: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, ST8, lpi), lambda b, g: (b, g, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, ng, 3), lambda b, g: (0, 0, 0),
+                         memory_space=pltpu.SMEM),
         ]
         out_shape += [
             jax.ShapeDtypeStruct((B, ng), jnp.int32),
             jax.ShapeDtypeStruct((B, ng, ST8, lpi), jnp.int32),
+            jax.ShapeDtypeStruct((B, ng, 3), jnp.int32),
         ]
+        scratch += [pltpu.VMEM((8, lpi), jnp.int32) for _ in range(3)]
+    in_specs = [
+        pl.BlockSpec((B, 1), lambda b, g: (0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, _RT, lpi), lambda b, g: (b, g, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 4, 8, 128), lambda b, g: (b, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, 1, lpi), lambda b, g: (b, g, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [zl8.astype(jnp.int32), w24t, lutp4, entries]
+    if with_records:
+        in_specs.append(
+            pl.BlockSpec((1, 1, 1, lpi), lambda b, g: (b, g, 0, 0),
+                         memory_space=pltpu.VMEM))
+        args.append(out0)
     kw = dict(
         grid=(B, ng),
-        in_specs=[
-            pl.BlockSpec((B, 1), lambda b, g: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, _RT, lpi), lambda b, g: (b, g, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 4, 8, 128), lambda b, g: (b, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, lpi), lambda b, g: (b, g, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shape),
-        scratch_shapes=[
-            pltpu.VMEM((8, lpi), jnp.int32),
-            pltpu.VMEM((8, lpi), jnp.int32),
-            pltpu.VMEM((8, lpi), jnp.int32),
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
     )
-    args = (zl8.astype(jnp.int32), w24t, lutp4, entries)
-    return pl.pallas_call(_make_walk_kernel(lpi, with_records), **kw)(*args)
+    return pl.pallas_call(
+        _make_walk_kernel(lpi, with_records, geom), **kw)(*args)
 
 
 def _lane_tiles(stream, nc_pad: int):
@@ -260,16 +346,16 @@ LPI_FIX = 4096  # lanes per instance for the record-free fixpoint passes
 
 
 @functools.partial(
-    jax.jit, static_argnames=("nc_pad", "interpret"))
-def _decode_walk(stream, lutp, p0, zlib_len, *, nc_pad: int,
-                 interpret: bool = False):
+    jax.jit, static_argnames=("nc_pad", "h", "w", "c", "interpret"))
+def _decode_walk(stream, lutp, p0, zlib_len, *, nc_pad: int, h: int,
+                 w: int, c: int, interpret: bool = False):
     """Stage 1: fixpoint + final recording pass.
 
-    Returns (meta4, entries, outb, out0, steps) with records still in
-    (B, NG, ST8, LPI) kernel layout so the host can trim step rows
-    before the expansion stage.  Per-record output offsets / bit
-    positions are not recorded; the finish stage reconstructs them from
-    meta + entries by per-lane cumsums.
+    Returns (meta4, chk, steps) with records still in (B, NG, ST8, LPI)
+    kernel layout so the host can trim step rows before the expansion
+    stage.  Records arrive FINALIZED (global clamped output offset +
+    packed deposit value) and pre-checked (chk = per-group
+    fail/eob_end/bad_end) - the finish stage only deposits and expands.
     """
     B = stream.shape[0]
     NC = nc_pad
@@ -316,87 +402,51 @@ def _decode_walk(stream, lutp, p0, zlib_len, *, nc_pad: int,
                          interpret=interpret)
     x0 = jnp.where(dead, 0, res0[0].reshape(B, NC))
     o0_ = jnp.where(dead, 0, res0[1].reshape(B, NC))
-    _, entries, _x, _o, _ = jax.lax.while_loop(
+    _, entries, _x, outb, _ = jax.lax.while_loop(
         fix_cond, fix_body,
         (jnp.int32(1), e0, x0, o0_, jnp.bool_(True)))
+
+    # global per-lane output offsets from the FIXPOINT outbytes, so the
+    # recording pass can finalize records in-kernel
+    out0 = jnp.cumsum(outb, axis=1) - outb
 
     # final recording pass at narrow instances (record VMEM budget)
     w24r, ngr = _prep_w24_tiles(stream, NC, LPI, tiles)
     res = walk_pass_tpu(w24r, lutp4, entries.reshape(B, ngr, 1, LPI), zl8,
-                        ng=ngr, lpi=LPI, with_records=True,
+                        out0.reshape(B, ngr, 1, LPI), ng=ngr, lpi=LPI,
+                        with_records=True,
+                        geom=(1 + w * c, h * (1 + w * c), c),
                         interpret=interpret)
-    outb = jnp.where(dead, 0, res[1].reshape(B, NC))
-    out0 = jnp.cumsum(outb, axis=1) - outb
-    steps = res[2]
-    return res[3], entries, outb, out0, steps
+    return res[3], res[4], res[2]
 
 
 @functools.partial(
     jax.jit, static_argnames=("h", "w", "c", "nc_pad", "k8"))
-def _decode_finish(meta4, entries, out0, zlib_len, *, h: int, w: int, c: int,
+def _decode_finish(meta4, chk, zlib_len, *, h: int, w: int, c: int,
                    nc_pad: int, k8: int):
-    """Stage 2: constraint checks + literal expansion + reconstruction."""
+    """Stage 2: deposit + reconstruction (checks already ran in-kernel)."""
     B = meta4.shape[0]
     NC = nc_pad
-    bpl = w * c
-    row_stride = 1 + bpl
+    row_stride = 1 + w * c
     total = h * row_stride
 
-    meta = jnp.swapaxes(meta4[:, :, :k8, :], 2, 3).reshape(B, NC, k8)
-
-    sym = meta & 511
-    clen = (meta >> 9) & 15
-    run = (meta >> 13) & 511
-    act = clen > 0
-    is_match = (sym > 256) & (sym <= 285)
-
-    # reconstruct per-record output offsets and bit positions (walk
-    # records carry only sym/clen/run): exclusive cumsums along the step
-    # dim of the same outlen / token-bit geometry the walk used
-    outlen_r = jnp.where(act & (sym < 256), 1,
-                         jnp.where(act & is_match, run, 0))
-    outl = jnp.cumsum(outlen_r, axis=2) - outlen_r
-    # length-extra bits, arithmetically (RFC 1951 group structure; the
-    # LUT's packed nextra field is the same table)
-    nextra = jnp.clip((sym - 261) >> 2, 0, 5)
-    nextra = jnp.where(sym == 285, 0, nextra)
-    tokbits = jnp.where(act, clen + jnp.where(is_match, nextra + 1, 0), 0)
-    pos = entries[:, :, None] + jnp.cumsum(tokbits, axis=2) - tokbits
-
-    outp = outl + out0[:, :, None]
-
-    rowpos = outp % row_stride
-    x = rowpos - 1
-    live = act & (outp < total)
-    fail = live & (sym > 285)
-    at_filter = live & (rowpos == 0)
-    fexp = jnp.where(outp >= row_stride, 2, 0)
-    fail |= at_filter & ((sym >= 256) | (sym != fexp))
-    mt = live & is_match
-    mok = (rowpos >= 1) & (x % c == 0) & (run % c == 0) & (x + run <= bpl)
-    fail |= mt & ~mok
-    misal = live & (rowpos >= 1) & (x % c != 0)
-    fail |= misal & (sym >= 256)
-    fail |= live & (sym == 256)
-    at_total = act & (outp == total)
-    at_eob = at_total & (sym == 256)
-    eob_end = jnp.min(jnp.where(at_eob, pos + clen, 0x7FFFFFFF),
-                      axis=(1, 2))
-    bad_end = jnp.min(jnp.where(at_total & (sym != 256), pos, 0x7FFFFFFF),
-                      axis=(1, 2))
-
-    ok = ~jnp.any(fail, axis=(1, 2))
-    ok &= jnp.any(at_eob, axis=(1, 2))
+    fail_g = chk[:, :, 0]
+    eob_end = jnp.min(chk[:, :, 1], axis=1)
+    bad_end = jnp.min(chk[:, :, 2], axis=1)
+    ok = ~jnp.any(fail_g != 0, axis=1)
+    ok &= eob_end != _INF
     ok &= eob_end <= bad_end
     ok &= ((eob_end + 7) >> 3) == (zlib_len - 4)
 
-    # walks that stopped early on an invalid code leave bytes unproduced;
-    # the EOB/coverage checks above already reject those streams
-    lit = live & (sym < 256)
+    # records arrive finalized: (0x100|sym) << 23 | clamped output offset
+    # for literals, bare offset otherwise (walks that stopped early leave
+    # bytes unproduced; the EOB/coverage checks reject those streams)
+    meta = jnp.swapaxes(meta4[:, :, :k8, :], 2, 3).reshape(B, NC, k8)
+    mu = jax.lax.bitcast_convert_type(meta, jnp.uint32)
     n_rec = NC * k8
     dep_words = -(-(16 * (total + 1)) // 32) + 1
-    rs = jnp.where(lit, sym | 0x100, 0).reshape(B, n_rec)
-    ro = jnp.minimum(outp, total).reshape(B, n_rec)
+    rs = (mu >> 23).reshape(B, n_rec)
+    ro = (mu & 0x7FFFFF).astype(jnp.int32).reshape(B, n_rec)
     # 2048-unit walks halve the deposit's per-walk fixed cost; 16-bit
     # units span exactly 1024 words per 2048 units, +128 misalignment
     dep = deposit_bits(rs.astype(jnp.uint32),
@@ -426,42 +476,61 @@ def _decode_finish(meta4, entries, out0, zlib_len, *, h: int, w: int, c: int,
     return imgs, ok
 
 
+_K8_CACHE: dict = {}
+
+
 def decode_kernel_tpu(stream, lutp, p0, zlib_len, *, h: int, w: int, c: int,
                       nc_pad: int, interpret: bool = False):
     """TPU decode via the Pallas walk kernel; same contract as
     specdec.decode_kernel (without overflow - S=512 cannot overflow).
 
     Host-orchestrated in two jitted stages so the record rows can be
-    trimmed to the actually-used step count (a pow2 bucket) before the
-    expansion stage - most streams use a small fraction of the static
-    ST8 bound.
+    trimmed to the actually-used step count (a 32-step bucket) before
+    the expansion stage - most streams use a small fraction of the
+    static ST8 bound.  The trim bound is cached per geometry: steady-
+    state calls dispatch the finish with the cached bound immediately
+    and let the steps readback (which costs a device round-trip)
+    overlap the finish execution, re-running only on the rare batch
+    whose walks ran deeper than anything seen before.
     """
     import numpy as _np
 
-    meta4, entries, outb, out0, steps = _decode_walk(
-        stream, lutp, p0, zlib_len, nc_pad=nc_pad, interpret=interpret)
-    smax = max(int(_np.asarray(steps).max()), 8)
-    # 32-step granularity (vs pow2): up to 1.6x fewer dead record slots
-    # through the finish stage, at a bounded recompile count
-    k8 = min(-(-smax // 32) * 32 if smax > 8 else 8, ST8)
-    return _decode_finish(meta4, entries, out0, zlib_len, h=h, w=w, c=c,
+    meta4, chk, steps = _decode_walk(
+        stream, lutp, p0, zlib_len, nc_pad=nc_pad, h=h, w=w, c=c,
+        interpret=interpret)
+
+    def trim(smax):
+        # 32-step granularity (vs pow2): up to 1.6x fewer dead record
+        # slots through the finish, at a bounded recompile count
+        return min(-(-max(smax, 8) // 32) * 32 if smax > 8 else 8, ST8)
+
+    key = (h, w, c, nc_pad)
+    k8 = _K8_CACHE.get(key)
+    if k8 is None:
+        k8 = trim(int(_np.asarray(steps).max()))
+        _K8_CACHE[key] = k8
+        return _decode_finish(meta4, chk, zlib_len, h=h, w=w, c=c,
+                              nc_pad=nc_pad, k8=k8)
+    out = _decode_finish(meta4, chk, zlib_len, h=h, w=w, c=c,
+                         nc_pad=nc_pad, k8=k8)
+    smax = int(_np.asarray(steps).max())  # overlaps the finish dispatch
+    if smax <= k8:
+        return out
+    k8 = trim(smax)
+    _K8_CACHE[key] = k8
+    return _decode_finish(meta4, chk, zlib_len, h=h, w=w, c=c,
                           nc_pad=nc_pad, k8=k8)
 
 
 def plan_tpu(nb: int) -> int:
     """Padded lane count for an nb-byte stream (TPU walk path).
 
-    Lane groups are bucketed on a {1, 1.5} x pow2 ladder: fine enough
-    that dead padded lanes stay < 33% of the walk/finish work (a plain
-    pow2 byte bucket wastes up to 50%), coarse enough to bound the
-    number of jit recompilations across a mixed corpus.
+    Lane groups are bucketed on the parallel/buckets.py ladder (default
+    {1, 1.5} x pow2: dead padded lanes stay < 33% of the walk/finish
+    work while bounding jit recompilations across a mixed corpus; the
+    density is autotunable per corpus - see buckets.autotune_density).
     """
+    from ..parallel.buckets import bucket
+
     nc = -(-nb * 8 // S_TPU)
-    g = -(-nc // LPI)
-    b = 1
-    while True:
-        if g <= b:
-            return b * LPI
-        if g <= b + b // 2:
-            return (b + b // 2) * LPI
-        b *= 2
+    return bucket(nc, unit=LPI)

@@ -18,9 +18,9 @@ import zlib
 
 import numpy as np
 
-_ADAM7 = [  # (x0, y0, dx, dy)
-    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 4, 4, 4),
-    (0, 2, 2, 4), (1, 2, 2, 2), (0, 1, 1, 2),
+_ADAM7 = [  # (x0, y0, dx, dy) - PNG spec Adam7 pass origins/strides
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
 ]
 
 _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}

@@ -36,6 +36,9 @@ import numpy as np
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.join(os.path.dirname(__file__), ".jax_cache"))
+# fixed-shape corpus => the bucket autotuner would pick the densest
+# ladder (compile cost amortizes, dead-lane waste doesn't)
+os.environ.setdefault("FPNG_TPU_BUCKET_DENSITY", "8")
 
 BASE = {
     # reference single-core MPix/s (BASELINE.md corpus 1 and corpus 3)

@@ -66,32 +66,37 @@ _WL = 1024        # window words (8 sublane rows); >= 127 + 576 + 2 spill
 _WROWS = _WL // 128
 
 
-def _window_deposit(vals, offs, idxv, cols, out_ref, pending, prevr):
+def _window_deposit(vals, offs, idxv, wl_words, out_ref, pending, prevr,
+                    base0=None):
     """Deposit one flat (_U,) sub-tile of (uint32 value, bit offset) units
     into out_ref through the carried window (pending/prevr scratch).
 
-    The window geometry (word width / row count) follows cols.shape[1] so
-    callers can trade one-hot width against window-walk iterations; the
-    pending scratch must hold 2x the matching row count.
+    wl_words sets the window geometry (word width / row count) so callers
+    can trade scatter width against window-walk iterations; the pending
+    scratch must hold 2x the matching row count.
 
     Units are sorted by offset but may have arbitrary gaps (the decoder's
     record expansion skips match-covered bytes), so one sub-tile can span
     several deposit windows.  Walk windows with a scalar first-unprocessed
     index; each window covers a contiguous sorted range, so the index
     advances by the in-window count.
+
+    base0 (scalar word row of the sub-tile's FIRST unit, when the caller
+    can supply it cheaply) moves the common whole-tile-fits-one-window
+    case out of the while loop into straight-line code: Mosaic while
+    iterations cost ~1us each in scalar sync, which dominated the deposit
+    at one loop entry per tile.
     """
-    wl_words = cols.shape[1]
     wrows = wl_words // 128
     word = offs >> 5
     sh = (offs & 31).astype(jnp.uint32)
     lo = vals << sh
     hi = (vals >> jnp.uint32(1)) >> (jnp.uint32(31) - sh)
+    cols128 = jax.lax.broadcasted_iota(jnp.int32, (offs.shape[0], 128), 1)
 
     n_eff = jnp.max(jnp.where((lo | hi) != 0, idxv, -1)) + 1
 
-    def win_body(i0):
-        base_row = jnp.min(
-            jnp.where(idxv >= i0, word, 0x7FFFFFFF)) // 128
+    def one_window(i0, base_row):
         wl = word - base_row * 128
         in_win = (idxv >= i0) & (wl < wl_words - 1)
         # fold the window mask into wl (Mosaic cannot broadcast an
@@ -104,27 +109,40 @@ def _window_deposit(vals, offs, idxv, cols, out_ref, pending, prevr):
             return jnp.stack(
                 [(v >> (8 * j)) & 0xFF for j in range(4)]) \
                 .astype(jnp.int32).astype(jnp.bfloat16)
-        oh = (cols == wl_m[:, None]).astype(jnp.bfloat16)
         planes = jnp.concatenate([byte_planes(mlo), byte_planes(mhi)])
-        m = jnp.dot(planes, oh,
-                    preferred_element_type=jnp.float32) \
-            .astype(jnp.int32)
-        mlo_w, mhi_w = m[:4], m[4:]
-        lane = jax.lax.broadcasted_iota(jnp.int32, (4, wl_words), 1)
-        mhi_w = jnp.where(lane > 0, pltpu.roll(mhi_w, 1, 1), 0)
-        ws = mlo_w + mhi_w
-        if wl_words == 1024:
-            win = (ws[0] | (ws[1] << 8) | (ws[2] << 16) | (ws[3] << 24)) \
-                .astype(jnp.uint32).reshape(wrows, 128)
-        else:
-            # narrow windows: Mosaic legalizes neither (wl,)->(wrows,128)
-            # shape casts nor 1D pads, so assemble rows from column slices
-            win = jnp.concatenate(
-                [(ws[0:1, 128 * r:128 * (r + 1)] |
-                  (ws[1:2, 128 * r:128 * (r + 1)] << 8) |
-                  (ws[2:3, 128 * r:128 * (r + 1)] << 16) |
-                  (ws[3:4, 128 * r:128 * (r + 1)] << 24))
-                 for r in range(wrows)], axis=0).astype(jnp.uint32)
+
+        # Row-factored one-hot: building a full (group, wl) one-hot costs
+        # ~2*g*wl vector ops - more than the matmul's MXU time.  The
+        # window column factors as wl = 128*r + c, so one (group, 128)
+        # column one-hot (shared by all rows) plus a per-row scalar mask
+        # folded into the planes does the same scatter with ~wl/9 of the
+        # construction work.  MXU pass count is unchanged (M<=128 is one
+        # tile either way).
+        # fold the window mask into the column index (Mosaic cannot
+        # broadcast an i1 minor dim): masked units match no column
+        c_u = jnp.where(wl_m >= 0, wl_m & 127, -1)
+        r_u = wl_m >> 7
+        ohc = (cols128 == c_u[:, None]).astype(jnp.bfloat16)
+        rows_m = []
+        for r in range(wrows):
+            pr = planes * (r_u == r)[None, :].astype(jnp.bfloat16)
+            rows_m.append(jnp.dot(pr, ohc,
+                                  preferred_element_type=jnp.float32)
+                          .astype(jnp.int32))
+        lane = jax.lax.broadcasted_iota(jnp.int32, (4, 128), 1)
+        win_rows = []
+        for r in range(wrows):
+            lo_r = rows_m[r][:4]
+            hi_r = rows_m[r][4:]
+            prev_hi = rows_m[r - 1][4:] if r else jnp.zeros_like(hi_r)
+            # hi bytes land one word later; word 0 of a row takes the
+            # previous row's word-127 carry
+            hi_sh = jnp.where(lane > 0, pltpu.roll(hi_r, 1, 1),
+                              pltpu.roll(prev_hi, 1, 1))
+            ws = lo_r + hi_sh
+            win_rows.append((ws[0:1] | (ws[1:2] << 8) | (ws[2:3] << 16) |
+                             (ws[3:4] << 24)))
+        win = jnp.concatenate(win_rows, axis=0).astype(jnp.uint32)
 
         # d > wrows (gap): the clamped read lands in the zeroed
         # upper half of `pending`
@@ -137,7 +155,18 @@ def _window_deposit(vals, offs, idxv, cols, out_ref, pending, prevr):
         prevr[0] = base_row
         return i0 + jnp.sum(in_win.astype(jnp.int32))
 
-    jax.lax.while_loop(lambda i0: i0 < n_eff, win_body, jnp.int32(0))
+    def win_body(i0):
+        base_row = jnp.min(
+            jnp.where(idxv >= i0, word, 0x7FFFFFFF)) // 128
+        return one_window(i0, base_row)
+
+    i0 = jnp.int32(0)
+    if base0 is not None:
+        # straight-line first window at the caller-supplied base row;
+        # clamp to the carry so a malformed (non-monotone) offset stream
+        # degrades to extra loop windows instead of rewinding the carry
+        i0 = one_window(i0, jnp.maximum(base0, prevr[0]))
+    jax.lax.while_loop(lambda i: i < n_eff, win_body, i0)
 
 
 def _flat_idx():
@@ -146,39 +175,63 @@ def _flat_idx():
     return idxv.reshape(_U)
 
 
-def _make_deposit_kernel(group: int, wl: int, zero_init: bool):
+def _make_deposit_kernel(group: int, wl: int, zero_init: bool,
+                         packed16: bool = False):
     """Deposit kernel over `group`-unit window walks with wl-word windows.
 
     Bigger groups amortize the per-walk fixed cost (scalar window scan,
-    dynamic stores) at the price of a wider one-hot; the decoder's
+    dynamic stores) at the price of a wider scatter; the decoder's
     expansion (fixed 16-bit units) uses group=2048/wl=1152 while the
     encoder fallback keeps 1024/1024.
+
+    packed16: single int32 input per unit - (value9 << 23) | slot23 -
+    decoded in-kernel (value at bit slot*16); spares the caller three
+    O(N) staged value/nbits/offset arrays in HBM.
     """
     grows = group // 128
 
-    def kernel(vals_ref, offs_ref, out_ref, pending, prevr):
+    def unpack(m):
+        vals = ((m >> 23) & 0x1FF).astype(jnp.uint32)
+        offs = (m & 0x7FFFFF) << 4
+        return vals, offs
+
+    def kernel(vals_ref, *rest):
+        if packed16:
+            (out_ref, pending, prevr) = rest
+        else:
+            (offs_ref, out_ref, pending, prevr) = rest
         t = pl.program_id(1)
 
         @pl.when(t == 0)
         def _():
             pending[...] = jnp.zeros_like(pending)
-            prevr[0] = (offs_ref[0, 0, 0, 0] >> 5) // 128
+            if packed16:
+                prevr[0] = ((vals_ref[0, 0, 0, 0] & 0x7FFFFF) >> 1) // 128
+            else:
+                prevr[0] = (offs_ref[0, 0, 0, 0] >> 5) // 128
             if zero_init:
                 # clear the image's word block on its first grid step so
                 # gap words (byte ranges no unit touches) read as zero
                 out_ref[...] = jnp.zeros_like(out_ref)
 
-        cols = jax.lax.broadcasted_iota(jnp.int32, (group, wl), 1)
         idxv = (jax.lax.broadcasted_iota(jnp.int32, (grows, 128), 0) * 128 +
                 jax.lax.broadcasted_iota(jnp.int32, (grows, 128), 1)) \
             .reshape(group)
         for k in range((_U * _SUB) // group):
-            vals = vals_ref[0, 0, grows * k:grows * (k + 1), :] \
-                .reshape(group).astype(jnp.uint32)
-            offs = offs_ref[0, 0, grows * k:grows * (k + 1), :] \
-                .reshape(group)
-            _window_deposit(vals, offs, idxv, cols, out_ref, pending,
-                            prevr)
+            if packed16:
+                m = vals_ref[0, 0, grows * k:grows * (k + 1), :] \
+                    .reshape(group)
+                vals, offs = unpack(m)
+                base0 = ((vals_ref[0, 0, grows * k, 0] & 0x7FFFFF) >> 1) \
+                    // 128
+            else:
+                vals = vals_ref[0, 0, grows * k:grows * (k + 1), :] \
+                    .reshape(group).astype(jnp.uint32)
+                offs = offs_ref[0, 0, grows * k:grows * (k + 1), :] \
+                    .reshape(group)
+                base0 = (offs_ref[0, 0, grows * k, 0] >> 5) // 128
+            _window_deposit(vals, offs, idxv, wl, out_ref, pending,
+                            prevr, base0=base0)
 
     return kernel
 
@@ -236,6 +289,49 @@ def scatter_bits_tpu(vals: jnp.ndarray, nbits: jnp.ndarray,
         ],
         interpret=interpret,
     )(vals4, offs4)
+    return out.reshape(B, rows * 128)[:, :num_words]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("num_words", "interpret", "group",
+                                    "wl"))
+def scatter_packed16_tpu(meta: jnp.ndarray, num_words: int,
+                         interpret: bool = False,
+                         group: int = 2048, wl: int = 1152) -> jnp.ndarray:
+    """Deposit (B, N) packed records - (value9 << 23) | slot23 int32,
+    16-bit units at bit offset slot*16, monotone slots - into
+    (B, num_words) uint32 words.  Always zero-initialized (the record
+    stream has gaps).  In-kernel unpacking spares three O(N) staged
+    arrays vs deposit_bits; used by the decoder's literal expansion.
+    """
+    B, N = meta.shape
+    step = _U * _SUB
+    T = -(-N // step)
+    pad = T * step - N
+    if pad:
+        end = meta[:, -1:] & 0x7FFFFF  # final slot (monotone, value 0)
+        meta = jnp.concatenate(
+            [meta, jnp.broadcast_to(end, (B, pad))], axis=1)
+    wrows = wl // 128
+    rows = -(-num_words // 128) + wrows + 1
+    sub8 = 8 * _SUB
+    meta4 = meta.astype(jnp.int32).reshape(B, T, sub8, 128)
+    out = pl.pallas_call(
+        _make_deposit_kernel(group, wl, True, packed16=True),
+        grid=(B, T),
+        in_specs=[
+            pl.BlockSpec((1, 1, sub8, 128), lambda b, t: (b, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, rows, 128), lambda b, t: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, rows, 128), jnp.uint32),
+        scratch_shapes=[
+            pltpu.VMEM((2 * wrows, 128), jnp.uint32),
+            pltpu.SMEM((1,), jnp.int32),
+        ],
+        interpret=interpret,
+    )(meta4)
     return out.reshape(B, rows * 128)[:, :num_words]
 
 

@@ -91,7 +91,6 @@ def _encfuse_kernel(base_ref, desc0_ref, desc1_ref, tbl_ref, out_ref,
         prevr[0] = (base_ref[b, 0] >> 5) // 128
 
     grows = _GUE // 128
-    cols = jax.lax.broadcasted_iota(jnp.int32, (_GUE, _WLE), 1)
     idxv = (jax.lax.broadcasted_iota(jnp.int32, (grows, 128), 0) * 128 +
             jax.lax.broadcasted_iota(jnp.int32, (grows, 128), 1)) \
         .reshape(_GUE)
@@ -126,8 +125,9 @@ def _encfuse_kernel(base_ref, desc0_ref, desc1_ref, tbl_ref, out_ref,
         s = s + jnp.where(subl >= sh_, pltpu.roll(s, sh_, 0), 0)
         sh_ *= 2
     rb = jnp.where(subl >= 1, pltpu.roll(s, 1, 0), 0)
-    offs = carry[0] + rb + s_inc - n
-    carry[0] = carry[0] + jnp.sum(n)
+    cb = carry[0]
+    offs = cb + rb + s_inc - n
+    carry[0] = cb + jnp.sum(n)
     # last token start: vector running max, reduced once at the end
     # (the pair's odd unit starts n0 bits into the pair)
     ltokv[...] = jnp.maximum(
@@ -135,10 +135,15 @@ def _encfuse_kernel(base_ref, desc0_ref, desc1_ref, tbl_ref, out_ref,
         jnp.maximum(jnp.where(ts0 == 1, offs, -1),
                     jnp.where(ts1 == 1, offs + n0, -1)))
 
+    # scalar running bit offset per deposit group: each group's first-unit
+    # word row feeds _window_deposit's straight-line first window
+    gbits = cb
     for k in range((8 * _SUB) // grows):
         vf = val[grows * k:grows * (k + 1), :].reshape(_GUE)
         of = offs[grows * k:grows * (k + 1), :].reshape(_GUE)
-        _window_deposit(vf, of, idxv, cols, out_ref, pending, prevr)
+        _window_deposit(vf, of, idxv, _WLE, out_ref, pending, prevr,
+                        base0=(gbits >> 5) // 128)
+        gbits = gbits + jnp.sum(n[grows * k:grows * (k + 1), :])
 
     @pl.when(t == pl.num_programs(1) - 1)
     def _():

@@ -15,14 +15,18 @@ Mosaic supports on (8, 128) tiles:
 One kernel instance walks 1024 chunk lanes of one image (grid (B, NG)),
 S = 512-bit chunks, with 8 tokens unrolled per loop iteration so record
 rows store at sublane-aligned offsets and the ~1.3us/iteration loop tax
-amortizes.  The entry fixpoint and all validation stay in XLA: the kernel
-just walks and emits per-step records
+amortizes.  The entry fixpoint stays in XLA (pass0 + incremental
+re-walks); the RECORD pass receives the fixpoint's global per-lane
+output offsets and finalizes everything in-kernel:
 
-  meta = sym | clen<<9 | run<<13 | pos_local<<22   (0 when inactive)
-  outl = local output byte offset
+  meta = (0x100 | sym) << 23 | data_offset23   for data literals
+         clamped monotone data offset          otherwise
 
-which the host-side decode_kernel_tpu turns into global offsets, runs the
-reference's constraint checks over, and expands with the Pallas deposit.
+(data offsets exclude filter-byte slots, so the finish deposit directly
+produces the (h, w*c) delta raster), plus the reference's per-record
+constraint checks reduced to per-group (fail, eob_end, bad_end)
+scalars.  The finish stage is then: packed 16-bit deposit -> per-row
+match forward-fill (associative scan) -> defilter cumsum.
 """
 
 from __future__ import annotations
@@ -96,6 +100,7 @@ def _walk_body(zl8_ref, w24_ref, lut_ref, ent_ref, out0_ref,
         out0 = jnp.broadcast_to(out0_ref[0, 0], (8, LPI)).astype(jnp.int32)
         row_stride, total, cch = geom
         bpl = row_stride - 1
+        hbpl = total - total // row_stride  # data bytes (filter excluded)
 
     tiles = [w24_ref[0, 0, 8 * t:8 * (t + 1), :] for t in range(_TILES)]
     luts = [lut_ref[0, t].astype(jnp.int32) for t in range(4)]
@@ -139,21 +144,25 @@ def _walk_body(zl8_ref, w24_ref, lut_ref, ent_ref, out0_ref,
         stop = clen == 0
 
         if with_records:
-            # finalized record: (0x100 | sym) << 23 for literals (the
-            # deposit value, flag bit included) packed over the clamped
-            # global output offset (total < 2^23 guaranteed by the
-            # driver's deposit budget).  Non-literal and inactive slots
-            # keep the bare offset so the deposit offsets stay monotone.
+            # finalized record: (0x100 | sym) << 23 for data literals
+            # (the deposit value, flag bit included) packed over the
+            # clamped DATA-SPACE offset - output position minus the
+            # filter-byte slots before it - so the deposit directly
+            # produces the (h, w*c) delta raster and the expansion stage
+            # needs no strided filter-slot stripping.  Non-literal,
+            # filter-byte and inactive slots keep the bare (monotone)
+            # offset.  total < 2^23 guaranteed by the driver.
             rec = act & ~stop
             outp = out0 + outl
-            lit = rec & (sym < 256)
-            meta = jnp.minimum(outp, total) | \
-                jnp.where(lit, (sym | 0x100) << 23, 0)
+            q = outp // row_stride
+            rowpos = outp - q * row_stride
+            lit = rec & (sym < 256) & (rowpos != 0)
+            didx = jnp.clip(outp - 1 - q, 0, hbpl)
+            meta = didx | jnp.where(lit, (sym | 0x100) << 23, 0)
 
             # reference constraint checks (fpng.cpp:2257-2584 semantics),
             # accumulated as vectors and reduced once at kernel end
             live = rec & (outp < total)
-            rowpos = outp - (outp // row_stride) * row_stride
             x = rowpos - 1
             f = live & (sym > 285)
             at_filter = live & (rowpos == 0)
@@ -229,9 +238,10 @@ def _walk_body(zl8_ref, w24_ref, lut_ref, ent_ref, out0_ref,
     outl_f = outl_s[...]
 
     if with_records:
-        # fill remaining record rows with the final clamped offsets so
-        # the deposit's offset stream stays monotone past each lane's exit
-        m_fill = jnp.minimum(out0 + outl_f, total)
+        # fill remaining record rows with the final clamped data-space
+        # offsets so the deposit stream stays monotone past lane exits
+        d_f = jnp.minimum(out0 + outl_f, total)
+        m_fill = jnp.clip(d_f - 1 - d_f // row_stride, 0, hbpl)
 
         def fill_body(it2):
             meta_ref[0, 0, pl.ds(it2 * 8, 8), :] = m_fill
@@ -402,7 +412,7 @@ def _decode_walk(stream, lutp, p0, zlib_len, *, nc_pad: int, h: int,
                          interpret=interpret)
     x0 = jnp.where(dead, 0, res0[0].reshape(B, NC))
     o0_ = jnp.where(dead, 0, res0[1].reshape(B, NC))
-    _, entries, _x, outb, _ = jax.lax.while_loop(
+    fix_passes, entries, _x, outb, _ = jax.lax.while_loop(
         fix_cond, fix_body,
         (jnp.int32(1), e0, x0, o0_, jnp.bool_(True)))
 
@@ -417,13 +427,13 @@ def _decode_walk(stream, lutp, p0, zlib_len, *, nc_pad: int, h: int,
                         with_records=True,
                         geom=(1 + w * c, h * (1 + w * c), c),
                         interpret=interpret)
-    return res[3], res[4], res[2]
+    return res[3], res[4], res[2], fix_passes
 
 
 @functools.partial(
-    jax.jit, static_argnames=("h", "w", "c", "nc_pad", "k8"))
+    jax.jit, static_argnames=("h", "w", "c", "nc_pad", "k8", "interpret"))
 def _decode_finish(meta4, chk, zlib_len, *, h: int, w: int, c: int,
-                   nc_pad: int, k8: int):
+                   nc_pad: int, k8: int, interpret: bool = False):
     """Stage 2: deposit + reconstruction (checks already ran in-kernel)."""
     B = meta4.shape[0]
     NC = nc_pad
@@ -438,28 +448,34 @@ def _decode_finish(meta4, chk, zlib_len, *, h: int, w: int, c: int,
     ok &= eob_end <= bad_end
     ok &= ((eob_end + 7) >> 3) == (zlib_len - 4)
 
-    # records arrive finalized: (0x100|sym) << 23 | clamped output offset
-    # for literals, bare offset otherwise (walks that stopped early leave
-    # bytes unproduced; the EOB/coverage checks reject those streams)
+    # records arrive finalized: (0x100|sym) << 23 | clamped DATA-SPACE
+    # offset (filter-byte slots excluded by the walk) for data literals,
+    # bare offset otherwise (walks that stopped early leave bytes
+    # unproduced; the EOB/coverage checks reject those streams).  The
+    # deposit output is therefore the contiguous (h, w*c) delta raster -
+    # no strided filter-slot stripping here.
     meta = jnp.swapaxes(meta4[:, :, :k8, :], 2, 3).reshape(B, NC, k8)
-    mu = jax.lax.bitcast_convert_type(meta, jnp.uint32)
     n_rec = NC * k8
-    dep_words = -(-(16 * (total + 1)) // 32) + 1
-    rs = (mu >> 23).reshape(B, n_rec)
-    ro = (mu & 0x7FFFFF).astype(jnp.int32).reshape(B, n_rec)
-    # 2048-unit walks halve the deposit's per-walk fixed cost; 16-bit
-    # units span exactly 1024 words per 2048 units, +128 misalignment
-    dep = deposit_bits(rs.astype(jnp.uint32),
-                       jnp.where(rs != 0, 16, 0), ro * 16,
-                       dep_words, zero_init=True, group=2048, wl=1152)
-    pairs = jax.lax.bitcast_convert_type(dep, jnp.uint8) \
-        .reshape(B, dep_words * 4)[:, :2 * total].reshape(B, total, 2)
-    syms = pairs[..., 0]
-    plit_b = pairs[..., 1] > 0
+    hbpl = h * w * c
+    dep_words = -(-(16 * (hbpl + 1)) // 32) + 1
+    from .bitpack import is_tpu_backend, scatter_packed16_tpu
 
-    syms_px = syms.reshape(B, h, row_stride)[:, :, 1:].reshape(B, h, w, c)
-    plit = plit_b.reshape(B, h, row_stride)[:, :, 1:] \
-        .reshape(B, h, w, c)[..., 0]
+    if is_tpu_backend() or interpret:
+        # packed records flow straight into the deposit kernel (value and
+        # slot unpacked in VMEM - no staged rs/nbits/offset arrays)
+        dep = scatter_packed16_tpu(meta.reshape(B, n_rec), dep_words,
+                                   interpret=interpret)
+    else:
+        mu = jax.lax.bitcast_convert_type(meta, jnp.uint32)
+        rs = (mu >> 23).reshape(B, n_rec)
+        ro = (mu & 0x7FFFFF).astype(jnp.int32).reshape(B, n_rec)
+        dep = deposit_bits(rs.astype(jnp.uint32),
+                           jnp.where(rs != 0, 16, 0), ro * 16,
+                           dep_words, zero_init=True, group=2048, wl=1152)
+    pairs = jax.lax.bitcast_convert_type(dep, jnp.uint8) \
+        .reshape(B, dep_words * 4)[:, :2 * hbpl].reshape(B, hbpl, 2)
+    syms_px = pairs[..., 0].reshape(B, h, w, c)
+    plit = pairs[..., 1].reshape(B, h, w, c)[..., 0] > 0
     payload = jnp.zeros((B, h, w), jnp.int32)
     for k in range(c):
         payload = payload | (syms_px[..., k].astype(jnp.int32) << (8 * k))
@@ -495,7 +511,7 @@ def decode_kernel_tpu(stream, lutp, p0, zlib_len, *, h: int, w: int, c: int,
     """
     import numpy as _np
 
-    meta4, chk, steps = _decode_walk(
+    meta4, chk, steps, _fp = _decode_walk(
         stream, lutp, p0, zlib_len, nc_pad=nc_pad, h=h, w=w, c=c,
         interpret=interpret)
 
@@ -510,16 +526,16 @@ def decode_kernel_tpu(stream, lutp, p0, zlib_len, *, h: int, w: int, c: int,
         k8 = trim(int(_np.asarray(steps).max()))
         _K8_CACHE[key] = k8
         return _decode_finish(meta4, chk, zlib_len, h=h, w=w, c=c,
-                              nc_pad=nc_pad, k8=k8)
+                              nc_pad=nc_pad, k8=k8, interpret=interpret)
     out = _decode_finish(meta4, chk, zlib_len, h=h, w=w, c=c,
-                         nc_pad=nc_pad, k8=k8)
+                         nc_pad=nc_pad, k8=k8, interpret=interpret)
     smax = int(_np.asarray(steps).max())  # overlaps the finish dispatch
     if smax <= k8:
         return out
     k8 = trim(smax)
     _K8_CACHE[key] = k8
     return _decode_finish(meta4, chk, zlib_len, h=h, w=w, c=c,
-                          nc_pad=nc_pad, k8=k8)
+                          nc_pad=nc_pad, k8=k8, interpret=interpret)
 
 
 def plan_tpu(nb: int) -> int:

@@ -143,9 +143,12 @@ def decode_batch(pngs: list[bytes], desired_channels: int = 4,
             luts[j] = pack_lut(lut)
             p0[j] = p
             zl[j] = zlib_len
-        # the walk kernel's finalized records pack the output offset in
-        # 23 bits (ops/specdec_tpu.py); larger rasters take the XLA path
-        if is_tpu_backend() and h * (1 + w * ch) < (1 << 23):
+        # the walk kernel's finalized records pack the (row-padded)
+        # data offset in 23 bits (ops/specdec_tpu.py); larger rasters
+        # take the XLA path
+        from ..ops.specdec_tpu import _bpl_pad
+
+        if is_tpu_backend() and h * _bpl_pad(w * ch) < (1 << 23):
             # Pallas walk kernel: S=512 chunks cannot overflow the
             # static record bound, so there is no host-fallback path.
             # Lane count follows the real stream length (plan_tpu's

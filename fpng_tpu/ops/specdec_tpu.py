@@ -42,8 +42,10 @@ from jax.experimental.pallas import tpu as pltpu
 from .. import constants as C
 from .bitpack import deposit_bits
 
+import os as _os
+
 S_TPU = 512          # chunk bits (walk-kernel path)
-LPI = 1024           # lanes per kernel instance
+LPI = int(_os.environ.get("FPNG_TPU_LPI_REC", "1024"))  # record-pass lanes
 ST8 = S_TPU + 24     # record rows (8-aligned; covers 1-bit/token worst case)
 _TILES = 9           # ceil((S/8 + 4) / 8) 8-row stream tiles per lane
 _RT = _TILES * 8     # stream tile rows (72)
@@ -98,9 +100,11 @@ def _walk_body(zl8_ref, w24_ref, lut_ref, ent_ref, out0_ref,
     ent = jnp.broadcast_to(ent_ref[0, 0], (8, LPI)).astype(jnp.int32)
     if with_records:
         out0 = jnp.broadcast_to(out0_ref[0, 0], (8, LPI)).astype(jnp.int32)
-        row_stride, total, cch = geom
+        row_stride, total, cch, bpl_pad = geom
         bpl = row_stride - 1
-        hbpl = total - total // row_stride  # data bytes (filter excluded)
+        # data raster rows padded to bpl_pad so the expansion kernel's
+        # blocks tile cleanly (pad slots receive no records)
+        hbplp = (total // row_stride) * bpl_pad
 
     tiles = [w24_ref[0, 0, 8 * t:8 * (t + 1), :] for t in range(_TILES)]
     luts = [lut_ref[0, t].astype(jnp.int32) for t in range(4)]
@@ -157,7 +161,7 @@ def _walk_body(zl8_ref, w24_ref, lut_ref, ent_ref, out0_ref,
             q = outp // row_stride
             rowpos = outp - q * row_stride
             lit = rec & (sym < 256) & (rowpos != 0)
-            didx = jnp.clip(outp - 1 - q, 0, hbpl)
+            didx = jnp.clip(q * bpl_pad + rowpos - 1, 0, hbplp)
             meta = didx | jnp.where(lit, (sym | 0x100) << 23, 0)
 
             # reference constraint checks (fpng.cpp:2257-2584 semantics),
@@ -241,7 +245,9 @@ def _walk_body(zl8_ref, w24_ref, lut_ref, ent_ref, out0_ref,
         # fill remaining record rows with the final clamped data-space
         # offsets so the deposit stream stays monotone past lane exits
         d_f = jnp.minimum(out0 + outl_f, total)
-        m_fill = jnp.clip(d_f - 1 - d_f // row_stride, 0, hbpl)
+        q_f = d_f // row_stride
+        m_fill = jnp.clip(q_f * bpl_pad + (d_f - q_f * row_stride) - 1,
+                          0, hbplp)
 
         def fill_body(it2):
             meta_ref[0, 0, pl.ds(it2 * 8, 8), :] = m_fill
@@ -355,6 +361,14 @@ def _prep_w24_tiles(stream, nc_pad: int, lpi: int, tiles=None):
 LPI_FIX = 4096  # lanes per instance for the record-free fixpoint passes
 
 
+def _bpl_pad(bpl: int) -> int:
+    """Data-raster row padding: multiples of 256 slots so the expansion
+    kernel's (8, bpl_pad/2)-word blocks tile on 128 lanes.  Skinny rows
+    stay unpadded (they take the XLA expansion, where padding would
+    inflate the deposit's offset span instead)."""
+    return bpl if bpl < 256 else -(-bpl // 256) * 256
+
+
 @functools.partial(
     jax.jit, static_argnames=("nc_pad", "h", "w", "c", "interpret"))
 def _decode_walk(stream, lutp, p0, zlib_len, *, nc_pad: int, h: int,
@@ -425,9 +439,116 @@ def _decode_walk(stream, lutp, p0, zlib_len, *, nc_pad: int, h: int,
     res = walk_pass_tpu(w24r, lutp4, entries.reshape(B, ngr, 1, LPI), zl8,
                         out0.reshape(B, ngr, 1, LPI), ng=ngr, lpi=LPI,
                         with_records=True,
-                        geom=(1 + w * c, h * (1 + w * c), c),
+                        geom=(1 + w * c, h * (1 + w * c), c,
+                              _bpl_pad(w * c)),
                         interpret=interpret)
     return res[3], res[4], res[2], fix_passes
+
+
+def _make_expand_kernel(P: int, c: int, w: int, wrows: int):
+    """Fill + defilter over the deposited 16-bit-slot data raster.
+
+    Input block: (1, 8, P) int32 words = 8 image rows of bpl_pad slots
+    (slot = sym | lit<<8; two slots per word).  Per block: match
+    forward-fill along each row (log-distance scan at slot stride c,
+    split over the lo/hi word halves), then defilter (add the previous
+    row mod 256, carried across blocks in scratch), then byte-pack via
+    stride-2 lane gathers so the output's first ceil(bpl/4) words per
+    row are the finished bytes - the XLA tail is pure prefix slices.
+    """
+
+    def kernel(dep_ref, out_ref, carry_lo, carry_hi):
+        t = pl.program_id(1)
+
+        @pl.when(t == 0)
+        def _():
+            carry_lo[...] = jnp.zeros_like(carry_lo)
+            carry_hi[...] = jnp.zeros_like(carry_hi)
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (8, P), 1)
+        wv = dep_ref[0]
+        v_lo = wv & 0xFF
+        h_lo = (wv >> 8) & 1
+        v_hi = (wv >> 16) & 0xFF
+        h_hi = (wv >> 24) & 1
+
+        def pull(v, hs, d):
+            pv = pltpu.roll(v, d, 1)
+            ph = jnp.where(lane >= d, pltpu.roll(hs, d, 1), 0)
+            return pv, ph
+
+        def fstep(v, hs, pv, ph):
+            return (jnp.where(hs == 1, v, jnp.where(ph == 1, pv, v)),
+                    hs | ph)
+
+        d = c  # slot distance
+        if c == 3:
+            # odd first step crosses halves: even slot 2j pulls odd slot
+            # 2j-3 (hi, lane j-2); odd slot 2j+1 pulls even 2j-2 (lo,
+            # lane j-1)
+            pv_l, ph_l = pull(v_hi, h_hi, 2)
+            pv_h, ph_h = pull(v_lo, h_lo, 1)
+            v_lo, h_lo = fstep(v_lo, h_lo, pv_l, ph_l)
+            v_hi, h_hi = fstep(v_hi, h_hi, pv_h, ph_h)
+            d = 6
+        while d < 2 * w * c:  # cover the whole row chain
+            dl = d // 2  # even slot distance -> lane shift per half
+            pv_l, ph_l = pull(v_lo, h_lo, dl)
+            pv_h, ph_h = pull(v_hi, h_hi, dl)
+            v_lo, h_lo = fstep(v_lo, h_lo, pv_l, ph_l)
+            v_hi, h_hi = fstep(v_hi, h_hi, pv_h, ph_h)
+            d *= 2
+
+        # defilter: row r += defiltered row r-1 (mod 256 per byte)
+        prev_lo = carry_lo[0:1, :]
+        prev_hi = carry_hi[0:1, :]
+        rows_lo = []
+        rows_hi = []
+        for r in range(8):
+            prev_lo = (v_lo[r:r + 1, :] + prev_lo) & 0xFF
+            prev_hi = (v_hi[r:r + 1, :] + prev_hi) & 0xFF
+            rows_lo.append(prev_lo)
+            rows_hi.append(prev_hi)
+        carry_lo[0:1, :] = prev_lo
+        carry_hi[0:1, :] = prev_hi
+        d_lo = jnp.concatenate(rows_lo, axis=0)
+        d_hi = jnp.concatenate(rows_hi, axis=0)
+
+        # keep the 16-bit-slot layout (byte compaction needs cross-vreg
+        # lane gathers Mosaic doesn't lower); the caller extracts the
+        # even bytes in one XLA pass
+        out_ref[0] = d_lo | (d_hi << 16)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("h", "w", "c", "bpl_pad", "interpret"))
+def expand_tpu(dep, *, h: int, w: int, c: int, bpl_pad: int,
+               interpret: bool = False):
+    """(B, H8*P) int32 deposited slot words -> (B, h, w, c) uint8."""
+    B = dep.shape[0]
+    P = bpl_pad // 2
+    H8 = -(-h // 8) * 8
+    wrows = P // 128
+    dep3 = dep.reshape(B, H8, P)
+    out = pl.pallas_call(
+        _make_expand_kernel(P, c, w, wrows),
+        grid=(B, H8 // 8),
+        in_specs=[pl.BlockSpec((1, 8, P), lambda b, t: (b, t, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, 8, P), lambda b, t: (b, t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, H8, P), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((8, P), jnp.int32),
+            pltpu.VMEM((8, P), jnp.int32),
+        ],
+        interpret=interpret,
+    )(dep3)
+    slots = jax.lax.bitcast_convert_type(out, jnp.uint8) \
+        .reshape(B, H8, 4 * P)[:, :h, 0::2]
+    return slots[:, :, :w * c].reshape(B, h, w, c)
 
 
 @functools.partial(
@@ -449,17 +570,22 @@ def _decode_finish(meta4, chk, zlib_len, *, h: int, w: int, c: int,
     ok &= ((eob_end + 7) >> 3) == (zlib_len - 4)
 
     # records arrive finalized: (0x100|sym) << 23 | clamped DATA-SPACE
-    # offset (filter-byte slots excluded by the walk) for data literals,
-    # bare offset otherwise (walks that stopped early leave bytes
-    # unproduced; the EOB/coverage checks reject those streams).  The
-    # deposit output is therefore the contiguous (h, w*c) delta raster -
-    # no strided filter-slot stripping here.
+    # offset (filter-byte slots excluded, rows padded to bpl_pad) for
+    # data literals, bare offset otherwise (walks that stopped early
+    # leave bytes unproduced; the EOB/coverage checks reject those
+    # streams).  The deposit output is the contiguous padded delta
+    # raster - no strided filter-slot stripping anywhere.
     meta = jnp.swapaxes(meta4[:, :, :k8, :], 2, 3).reshape(B, NC, k8)
     n_rec = NC * k8
-    hbpl = h * w * c
-    dep_words = -(-(16 * (hbpl + 1)) // 32) + 1
+    bpl = w * c
+    bpl_pad = _bpl_pad(bpl)
+    hbplp = h * bpl_pad
     from .bitpack import is_tpu_backend, scatter_packed16_tpu
 
+    use_kernel = (is_tpu_backend() or interpret) and bpl_pad % 256 == 0
+    H8 = -(-h // 8) * 8
+    dep_words = H8 * (bpl_pad // 2) if use_kernel \
+        else -(-(16 * (hbplp + 1)) // 32) + 1
     if is_tpu_backend() or interpret:
         # packed records flow straight into the deposit kernel (value and
         # slot unpacked in VMEM - no staged rs/nbits/offset arrays)
@@ -472,10 +598,18 @@ def _decode_finish(meta4, chk, zlib_len, *, h: int, w: int, c: int,
         dep = deposit_bits(rs.astype(jnp.uint32),
                            jnp.where(rs != 0, 16, 0), ro * 16,
                            dep_words, zero_init=True, group=2048, wl=1152)
+
+    if use_kernel:
+        imgs = expand_tpu(jax.lax.bitcast_convert_type(dep, jnp.int32),
+                          h=h, w=w, c=c, bpl_pad=bpl_pad,
+                          interpret=interpret)
+        return imgs, ok
+
     pairs = jax.lax.bitcast_convert_type(dep, jnp.uint8) \
-        .reshape(B, dep_words * 4)[:, :2 * hbpl].reshape(B, hbpl, 2)
-    syms_px = pairs[..., 0].reshape(B, h, w, c)
-    plit = pairs[..., 1].reshape(B, h, w, c)[..., 0] > 0
+        .reshape(B, dep_words * 4)[:, :2 * hbplp] \
+        .reshape(B, h, bpl_pad, 2)
+    syms_px = pairs[:, :, :bpl, 0].reshape(B, h, w, c)
+    plit = pairs[:, :, :bpl, 1].reshape(B, h, w, c)[..., 0] > 0
     payload = jnp.zeros((B, h, w), jnp.int32)
     for k in range(c):
         payload = payload | (syms_px[..., k].astype(jnp.int32) << (8 * k))
@@ -511,6 +645,9 @@ def decode_kernel_tpu(stream, lutp, p0, zlib_len, *, h: int, w: int, c: int,
     """
     import numpy as _np
 
+    # the packed record offset field is 23 bits over the padded raster
+    assert h * _bpl_pad(w * c) < (1 << 23), \
+        "raster too large for the walk path (route via the XLA kernel)"
     meta4, chk, steps, _fp = _decode_walk(
         stream, lutp, p0, zlib_len, nc_pad=nc_pad, h=h, w=w, c=c,
         interpret=interpret)

@@ -45,7 +45,7 @@ def _dec(stream, luts, p0, zl, nb, shape):
 
 
 @pytest.mark.parametrize("case", ["photo3", "flat", "rgba", "photo2p",
-                                  "tiny", "wide"])
+                                  "tiny", "wide", "wide4"])
 def test_walk_kernel_roundtrip(case):
     rng = np.random.default_rng(hash(case) % 2**31)
     flags = 0
@@ -68,9 +68,13 @@ def test_walk_kernel_roundtrip(case):
         # the stored path, which the walk kernel never sees)
         imgs = np.full((3, 16, 16, 3), 31, np.uint8)
         imgs[:, ::4] = 90
-    else:  # wide
+    elif case == "wide":
         imgs = np.tile(rng.integers(0, 255, (1, 1, 300, 3), np.uint8),
                        (2, 9, 1, 1)).copy()
+    else:  # wide4: 4ch over the expansion kernel path (bpl >= 256)
+        imgs = (rng.normal(100, 20, (2, 13, 80, 4)).clip(0, 255)) \
+            .astype(np.uint8)
+        imgs[:, 4:8] = 77
     pngs = F.encode_batch(imgs, flags)
     stream, luts, p0, zl, nb = _prep(pngs)
     di, ok = _dec(stream, luts, p0, zl, nb, imgs.shape[1:])

@@ -190,15 +190,14 @@ def _make_deposit_kernel(group: int, wl: int, zero_init: bool,
     """
     grows = group // 128
 
-    def unpack(m):
-        vals = ((m >> 23) & 0x1FF).astype(jnp.uint32)
-        offs = (m & 0x7FFFFF) << 4
-        return vals, offs
-
     def kernel(vals_ref, *rest):
-        if packed16:
+        if packed16 == "pair":
+            (metb_ref, out_ref, pending, prevr) = rest
+        elif packed16:
+            metb_ref = None
             (out_ref, pending, prevr) = rest
         else:
+            metb_ref = None
             (offs_ref, out_ref, pending, prevr) = rest
         t = pl.program_id(1)
 
@@ -221,7 +220,12 @@ def _make_deposit_kernel(group: int, wl: int, zero_init: bool,
             if packed16:
                 m = vals_ref[0, 0, grows * k:grows * (k + 1), :] \
                     .reshape(group)
-                vals, offs = unpack(m)
+                vals = ((m >> 23) & 0x1FF).astype(jnp.uint32)
+                if metb_ref is not None:
+                    mb = metb_ref[0, 0, grows * k:grows * (k + 1), :] \
+                        .reshape(group)
+                    vals = vals | ((mb & 0x1FF).astype(jnp.uint32) << 16)
+                offs = (m & 0x7FFFFF) << 4
                 base0 = ((vals_ref[0, 0, grows * k, 0] & 0x7FFFFF) >> 1) \
                     // 128
             else:
@@ -296,6 +300,7 @@ def scatter_bits_tpu(vals: jnp.ndarray, nbits: jnp.ndarray,
                    static_argnames=("num_words", "interpret", "group",
                                     "wl"))
 def scatter_packed16_tpu(meta: jnp.ndarray, num_words: int,
+                         metb: jnp.ndarray | None = None,
                          interpret: bool = False,
                          group: int = 2048, wl: int = 1152) -> jnp.ndarray:
     """Deposit (B, N) packed records - (value9 << 23) | slot23 int32,
@@ -303,6 +308,10 @@ def scatter_packed16_tpu(meta: jnp.ndarray, num_words: int,
     (B, num_words) uint32 words.  Always zero-initialized (the record
     stream has gaps).  In-kernel unpacking spares three O(N) staged
     arrays vs deposit_bits; used by the decoder's literal expansion.
+
+    metb: optional (B, N) second-symbol values (9 bits, 0 = none); each
+    rides its record's high half - a 32-bit unit at the same slot - so
+    two-symbol walk steps still cost one deposit slot.
     """
     B, N = meta.shape
     step = _U * _SUB
@@ -312,17 +321,26 @@ def scatter_packed16_tpu(meta: jnp.ndarray, num_words: int,
         end = meta[:, -1:] & 0x7FFFFF  # final slot (monotone, value 0)
         meta = jnp.concatenate(
             [meta, jnp.broadcast_to(end, (B, pad))], axis=1)
+        if metb is not None:
+            metb = jnp.concatenate(
+                [metb, jnp.zeros((B, pad), metb.dtype)], axis=1)
     wrows = wl // 128
     rows = -(-num_words // 128) + wrows + 1
     sub8 = 8 * _SUB
     meta4 = meta.astype(jnp.int32).reshape(B, T, sub8, 128)
+    spec = pl.BlockSpec((1, 1, sub8, 128), lambda b, t: (b, t, 0, 0),
+                        memory_space=pltpu.VMEM)
+    in_specs = [spec]
+    args = [meta4]
+    mode = True
+    if metb is not None:
+        in_specs.append(spec)
+        args.append(metb.astype(jnp.int32).reshape(B, T, sub8, 128))
+        mode = "pair"
     out = pl.pallas_call(
-        _make_deposit_kernel(group, wl, True, packed16=True),
+        _make_deposit_kernel(group, wl, True, packed16=mode),
         grid=(B, T),
-        in_specs=[
-            pl.BlockSpec((1, 1, sub8, 128), lambda b, t: (b, t, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, rows, 128), lambda b, t: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, rows, 128), jnp.uint32),
@@ -331,7 +349,7 @@ def scatter_packed16_tpu(meta: jnp.ndarray, num_words: int,
             pltpu.SMEM((1,), jnp.int32),
         ],
         interpret=interpret,
-    )(meta4)
+    )(*args)
     return out.reshape(B, rows * 128)[:, :num_words]
 
 

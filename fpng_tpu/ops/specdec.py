@@ -61,16 +61,33 @@ def pack_lut(lut: np.ndarray) -> np.ndarray:
     """Pack run geometry into a 12-bit decode LUT (host side, numpy).
 
     Input entries: sym | clen<<9 (huffman.build_decoder_table).  Output
-    adds nextra<<13 and run_base<<16 for length symbols so the device walk
-    needs a single lookup per token.
+    adds, for length symbols, nextra<<13 and run_base<<16; for literal
+    symbols, a speculatively packed SECOND literal (s2<<16 | len2<<25)
+    when the entry's remaining window bits fully contain another literal
+    code - the reference decoder's own second-symbol trick
+    (fpng.cpp:2080-2102), which lets the walk consume two tokens per
+    lookup.  One lookup yields the full geometry either way.
     """
     sym = lut & 511
+    clen = (lut >> 9) & 15
     out = lut.astype(np.uint32) & 0x1FFF
     is_len = (sym > 256) & (sym <= 285) & (lut != 0)
     idx = np.clip(sym - 257, 0, 28)
     nextra = np.where(is_len, C.LEN_EXTRA_BY_SYM[idx], 0).astype(np.uint32)
     base = np.where(is_len, C.LEN_BASE_BY_SYM[idx], 0).astype(np.uint32)
     out = out | (nextra << 13) | (base << 16)
+
+    # second-symbol packing: canonical LUT entries for a code of length L
+    # repeat across all indices sharing the low L bits, so indexing with
+    # the zero-extended remainder is exact whenever len2 <= 12 - clen
+    i12 = np.arange(lut.shape[0], dtype=np.uint32)
+    rem = (i12 >> clen) & 0xFFF
+    e2 = lut[rem]
+    s2 = (e2 & 511).astype(np.uint32)
+    l2 = ((e2 >> 9) & 15).astype(np.uint32)
+    lit1 = (sym < 256) & (clen > 0)
+    ok2 = lit1 & (l2 > 0) & (s2 < 256) & (l2 + clen <= 12)
+    out = out | np.where(ok2, (s2 << 16) | (l2 << 25), 0).astype(np.uint32)
     # syms 286/287 are not legal deflate length codes; they keep their
     # clen (walks must keep advancing - a frozen position would poison
     # the entry fixpoint) but carry no geometry, and the record pass

@@ -13,20 +13,25 @@ Mosaic supports on (8, 128) tiles:
     resolves a full 12-bit lookup per 128-lane slice.
 
 One kernel instance walks 1024 chunk lanes of one image (grid (B, NG)),
-S = 512-bit chunks, with 8 tokens unrolled per loop iteration so record
+S = 512-bit chunks, with 8 steps unrolled per loop iteration so record
 rows store at sublane-aligned offsets and the ~1.3us/iteration loop tax
-amortizes.  The entry fixpoint stays in XLA (pass0 + incremental
-re-walks); the RECORD pass receives the fixpoint's global per-lane
-output offsets and finalizes everything in-kernel:
+amortizes.  Each step consumes up to TWO tokens via the LUT's
+speculatively packed second literal (the reference decoder's own trick,
+fpng.cpp:2080-2102, see pack_lut) - fewer walk steps AND fewer record
+slots.  The entry fixpoint stays in XLA (pass0 + incremental re-walks);
+the RECORD pass receives the fixpoint's global per-lane output offsets
+and finalizes everything in-kernel:
 
-  meta = (0x100 | sym) << 23 | data_offset23   for data literals
+  meta = (0x100 | sym) << 23 | data_offset23   primary data literal
          clamped monotone data offset          otherwise
+  metb = (0x100 | sym2)                        paired second literal
 
-(data offsets exclude filter-byte slots, so the finish deposit directly
-produces the (h, w*c) delta raster), plus the reference's per-record
+(data offsets exclude filter-byte slots and pad each row to bpl_pad;
+a step's two literals are output-adjacent, so metb rides the same
+32-bit deposit unit's high half), plus the reference's per-record
 constraint checks reduced to per-group (fail, eob_end, bad_end)
-scalars.  The finish stage is then: packed 16-bit deposit -> per-row
-match forward-fill (associative scan) -> defilter cumsum.
+scalars.  The finish stage is then: packed-pair 16-bit-slot deposit ->
+the fused fill+defilter expansion kernel.
 """
 
 from __future__ import annotations
@@ -65,15 +70,16 @@ def _make_walk_kernel(lpi: int, with_records: bool, geom=None):
     def kernel(zl8_ref, w24_ref, lut_ref, ent_ref, *rest):
         if with_records:
             out0_ref = rest[0]
-            exit_ref, outb_ref, steps_ref, meta_ref, chk_ref = rest[1:6]
-            scr = rest[6:]
+            (exit_ref, outb_ref, steps_ref, meta_ref, metb_ref,
+             chk_ref) = rest[1:7]
+            scr = rest[7:]
         else:
             out0_ref = chk_ref = None
             exit_ref, outb_ref = rest[:2]
-            steps_ref = meta_ref = None
+            steps_ref = meta_ref = metb_ref = None
             scr = rest[2:]
         _walk_body(zl8_ref, w24_ref, lut_ref, ent_ref, out0_ref, exit_ref,
-                   outb_ref, steps_ref, meta_ref, chk_ref,
+                   outb_ref, steps_ref, meta_ref, metb_ref, chk_ref,
                    scr, lpi, with_records, geom)
 
     return kernel
@@ -83,7 +89,7 @@ _INF = 0x7FFFFFFF
 
 
 def _walk_body(zl8_ref, w24_ref, lut_ref, ent_ref, out0_ref,
-               exit_ref, outb_ref, steps_ref, meta_ref, chk_ref,
+               exit_ref, outb_ref, steps_ref, meta_ref, metb_ref, chk_ref,
                scr, LPI, with_records, geom):
     if with_records:
         pos_s, outl_s, act_s, fail_s, eob_s, bad_s = scr
@@ -143,9 +149,18 @@ def _walk_body(zl8_ref, w24_ref, lut_ref, ent_ref, out0_ref,
         is_m = (sym > 256) & (sym <= 285)
         extra = (w >> (sh + clen)) & ((1 << nextra) - 1)
         run = base + extra
-        tok = clen + jnp.where(is_m, nextra + 1, 0)
-        outlen = jnp.where(sym < 256, 1, jnp.where(is_m, run, 0))
         stop = clen == 0
+        # speculative second literal (pack_lut bits 16-24/25-28): a
+        # literal entry whose remaining window bits fully contain another
+        # literal code consumes BOTH this step (the reference decoder's
+        # own trick, fpng.cpp:2080-2102) - fewer walk steps AND fewer
+        # record slots
+        l2 = (e >> 25) & 15
+        s2 = (e >> 16) & 0xFF
+        two = (sym < 256) & ~stop & (l2 > 0)
+        tok = clen + jnp.where(is_m, nextra + 1, 0) + jnp.where(two, l2, 0)
+        outlen = jnp.where(sym < 256, 1, jnp.where(is_m, run, 0)) + \
+            jnp.where(two, 1, 0)
 
         if with_records:
             # finalized record: (0x100 | sym) << 23 for data literals
@@ -162,7 +177,23 @@ def _walk_body(zl8_ref, w24_ref, lut_ref, ent_ref, out0_ref,
             rowpos = outp - q * row_stride
             lit = rec & (sym < 256) & (rowpos != 0)
             didx = jnp.clip(q * bpl_pad + rowpos - 1, 0, hbplp)
-            meta = didx | jnp.where(lit, (sym | 0x100) << 23, 0)
+
+            # second-symbol record: when both are data literals they are
+            # output-adjacent, so s2 rides the SAME deposit unit's high
+            # half (metaB); when the FIRST symbol is a filter byte, s2
+            # becomes the primary record at its own slot instead (the
+            # hi-half trick would need slot didx-1, which clips at row 0)
+            rec2 = rec & two
+            rowpos2 = rowpos + 1
+            rowpos2 = jnp.where(rowpos2 == row_stride, 0, rowpos2)
+            lit2 = rec2 & (rowpos2 != 0)
+            lit2_only = lit2 & ~lit
+            didx2 = jnp.clip(q * bpl_pad + rowpos2 - 1, 0, hbplp)
+            prim = lit | lit2_only
+            v1 = jnp.where(lit, sym, s2)
+            off = jnp.where(lit2_only, didx2, didx)
+            meta = off | jnp.where(prim, (v1 | 0x100) << 23, 0)
+            metb = jnp.where(lit & lit2, s2 | 0x100, 0)
 
             # reference constraint checks (fpng.cpp:2257-2584 semantics),
             # accumulated as vectors and reduced once at kernel end
@@ -186,13 +217,24 @@ def _walk_body(zl8_ref, w24_ref, lut_ref, ent_ref, out0_ref,
             eobm = jnp.minimum(eobm, jnp.where(at_eob, pos + clen, _INF))
             badm = jnp.minimum(
                 badm, jnp.where(at_total & (sym != 256), pos, _INF))
+
+            # checks for the second literal (never a match/EOB): filter
+            # placement, and a literal landing exactly at the stream end
+            outp2 = outp + 1
+            live2 = rec2 & (outp2 < total)
+            at_filter2 = live2 & (rowpos2 == 0)
+            fexp2 = jnp.where(outp2 >= row_stride, 2, 0)
+            fail = fail | (at_filter2 & (s2 != fexp2))
+            at_total2 = rec2 & (outp2 == total)
+            badm = jnp.minimum(
+                badm, jnp.where(at_total2, pos + clen, _INF))
         else:
-            meta = jnp.zeros_like(pos)
+            meta = metb = jnp.zeros_like(pos)
         adv = act & ~stop
         pos = jnp.where(adv, pos + tok, pos)
         outl = outl + jnp.where(adv, outlen, 0)
         act = adv & (pos < bound)
-        return pos, outl, act, meta, fail, eobm, badm
+        return pos, outl, act, meta, metb, fail, eobm, badm
 
     act0 = (ent < bound) & (lane_bit0 < zl8)
 
@@ -220,12 +262,15 @@ def _walk_body(zl8_ref, w24_ref, lut_ref, ent_ref, out0_ref,
             fail = jnp.zeros((8, LPI), bool)
             eobm = badm = jnp.zeros((8, LPI), jnp.int32)
         g_meta = jnp.zeros((8, LPI), jnp.int32)
+        g_metb = jnp.zeros((8, LPI), jnp.int32)
         for u in range(8):
-            pos, outl, act, meta, fail, eobm, badm = \
+            pos, outl, act, meta, metb, fail, eobm, badm = \
                 step(pos, outl, act, fail, eobm, badm)
             g_meta = jnp.where(subl == u, meta, g_meta)
+            g_metb = jnp.where(subl == u, metb, g_metb)
         if with_records:
             meta_ref[0, 0, pl.ds(it * 8, 8), :] = g_meta[:, :]
+            metb_ref[0, 0, pl.ds(it * 8, 8), :] = g_metb[:, :]
             fail_s[...] = fail.astype(jnp.int32)
             eob_s[...] = eobm
             bad_s[...] = badm
@@ -249,8 +294,11 @@ def _walk_body(zl8_ref, w24_ref, lut_ref, ent_ref, out0_ref,
         m_fill = jnp.clip(q_f * bpl_pad + (d_f - q_f * row_stride) - 1,
                           0, hbplp)
 
+        zero8 = jnp.zeros((8, LPI), jnp.int32)
+
         def fill_body(it2):
             meta_ref[0, 0, pl.ds(it2 * 8, 8), :] = m_fill
+            metb_ref[0, 0, pl.ds(it2 * 8, 8), :] = zero8
             return it2 + 1
 
         jax.lax.while_loop(lambda it2: it2 < ST8 // 8, fill_body, it)
@@ -275,9 +323,10 @@ def walk_pass_tpu(w24t, lutp4, entries, zl8, out0=None, *, ng: int,
     lutp4: (B, 4, 8, 128) int32 packed LUT tiles;
     entries: (B, NG, 1, lpi) int32; zl8: (B, 1) int32 stream bit length.
     Record passes additionally take out0 (B, NG, 1, lpi) global output
-    byte offsets and geom=(row_stride, total, c) and return finalized
-    records plus per-group check scalars (see _make_walk_kernel).
-    Returns (exits, outb[, steps, meta, chk]); records (B, NG, ST8, lpi).
+    byte offsets and geom=(row_stride, total, c, bpl_pad) and return
+    finalized records plus per-group check scalars (_make_walk_kernel).
+    Returns (exits, outb[, steps, meta, metb, chk]); records
+    (B, NG, ST8, lpi).
     """
     B = w24t.shape[0]
     out_specs = [
@@ -298,11 +347,14 @@ def walk_pass_tpu(w24t, lutp4, entries, zl8, out0=None, *, ng: int,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, ST8, lpi), lambda b, g: (b, g, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, ST8, lpi), lambda b, g: (b, g, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((B, ng, 3), lambda b, g: (0, 0, 0),
                          memory_space=pltpu.SMEM),
         ]
         out_shape += [
             jax.ShapeDtypeStruct((B, ng), jnp.int32),
+            jax.ShapeDtypeStruct((B, ng, ST8, lpi), jnp.int32),
             jax.ShapeDtypeStruct((B, ng, ST8, lpi), jnp.int32),
             jax.ShapeDtypeStruct((B, ng, 3), jnp.int32),
         ]
@@ -375,7 +427,8 @@ def _decode_walk(stream, lutp, p0, zlib_len, *, nc_pad: int, h: int,
                  w: int, c: int, interpret: bool = False):
     """Stage 1: fixpoint + final recording pass.
 
-    Returns (meta4, chk, steps) with records still in (B, NG, ST8, LPI)
+    Returns (meta4, metb4, chk, steps, fix_passes) with records still in
+    (B, NG, ST8, LPI)
     kernel layout so the host can trim step rows before the expansion
     stage.  Records arrive FINALIZED (global clamped output offset +
     packed deposit value) and pre-checked (chk = per-group
@@ -442,7 +495,7 @@ def _decode_walk(stream, lutp, p0, zlib_len, *, nc_pad: int, h: int,
                         geom=(1 + w * c, h * (1 + w * c), c,
                               _bpl_pad(w * c)),
                         interpret=interpret)
-    return res[3], res[4], res[2], fix_passes
+    return res[3], res[4], res[5], res[2], fix_passes
 
 
 def _make_expand_kernel(P: int, c: int, w: int, wrows: int):
@@ -553,7 +606,7 @@ def expand_tpu(dep, *, h: int, w: int, c: int, bpl_pad: int,
 
 @functools.partial(
     jax.jit, static_argnames=("h", "w", "c", "nc_pad", "k8", "interpret"))
-def _decode_finish(meta4, chk, zlib_len, *, h: int, w: int, c: int,
+def _decode_finish(meta4, metb4, chk, zlib_len, *, h: int, w: int, c: int,
                    nc_pad: int, k8: int, interpret: bool = False):
     """Stage 2: deposit + reconstruction (checks already ran in-kernel)."""
     B = meta4.shape[0]
@@ -576,6 +629,7 @@ def _decode_finish(meta4, chk, zlib_len, *, h: int, w: int, c: int,
     # streams).  The deposit output is the contiguous padded delta
     # raster - no strided filter-slot stripping anywhere.
     meta = jnp.swapaxes(meta4[:, :, :k8, :], 2, 3).reshape(B, NC, k8)
+    metb = jnp.swapaxes(metb4[:, :, :k8, :], 2, 3).reshape(B, NC, k8)
     n_rec = NC * k8
     bpl = w * c
     bpl_pad = _bpl_pad(bpl)
@@ -585,18 +639,20 @@ def _decode_finish(meta4, chk, zlib_len, *, h: int, w: int, c: int,
     use_kernel = (is_tpu_backend() or interpret) and bpl_pad % 256 == 0
     H8 = -(-h // 8) * 8
     dep_words = H8 * (bpl_pad // 2) if use_kernel \
-        else -(-(16 * (hbplp + 1)) // 32) + 1
+        else -(-(16 * (hbplp + 2)) // 32) + 1
     if is_tpu_backend() or interpret:
-        # packed records flow straight into the deposit kernel (value and
-        # slot unpacked in VMEM - no staged rs/nbits/offset arrays)
+        # packed records flow straight into the deposit kernel (values
+        # and slot unpacked in VMEM - no staged rs/nbits/offset arrays);
+        # a step's second literal rides the same unit's high half
         dep = scatter_packed16_tpu(meta.reshape(B, n_rec), dep_words,
+                                   metb=metb.reshape(B, n_rec),
                                    interpret=interpret)
     else:
         mu = jax.lax.bitcast_convert_type(meta, jnp.uint32)
-        rs = (mu >> 23).reshape(B, n_rec)
+        rs = ((mu >> 23) |
+              ((metb.astype(jnp.uint32) & 0x1FF) << 16)).reshape(B, n_rec)
         ro = (mu & 0x7FFFFF).astype(jnp.int32).reshape(B, n_rec)
-        dep = deposit_bits(rs.astype(jnp.uint32),
-                           jnp.where(rs != 0, 16, 0), ro * 16,
+        dep = deposit_bits(rs, jnp.where(rs != 0, 32, 0), ro * 16,
                            dep_words, zero_init=True, group=2048, wl=1152)
 
     if use_kernel:
@@ -648,7 +704,7 @@ def decode_kernel_tpu(stream, lutp, p0, zlib_len, *, h: int, w: int, c: int,
     # the packed record offset field is 23 bits over the padded raster
     assert h * _bpl_pad(w * c) < (1 << 23), \
         "raster too large for the walk path (route via the XLA kernel)"
-    meta4, chk, steps, _fp = _decode_walk(
+    meta4, metb4, chk, steps, _fp = _decode_walk(
         stream, lutp, p0, zlib_len, nc_pad=nc_pad, h=h, w=w, c=c,
         interpret=interpret)
 
@@ -662,16 +718,17 @@ def decode_kernel_tpu(stream, lutp, p0, zlib_len, *, h: int, w: int, c: int,
     if k8 is None:
         k8 = trim(int(_np.asarray(steps).max()))
         _K8_CACHE[key] = k8
-        return _decode_finish(meta4, chk, zlib_len, h=h, w=w, c=c,
-                              nc_pad=nc_pad, k8=k8, interpret=interpret)
-    out = _decode_finish(meta4, chk, zlib_len, h=h, w=w, c=c,
+        return _decode_finish(meta4, metb4, chk, zlib_len, h=h, w=w,
+                              c=c, nc_pad=nc_pad, k8=k8,
+                              interpret=interpret)
+    out = _decode_finish(meta4, metb4, chk, zlib_len, h=h, w=w, c=c,
                          nc_pad=nc_pad, k8=k8, interpret=interpret)
     smax = int(_np.asarray(steps).max())  # overlaps the finish dispatch
     if smax <= k8:
         return out
     k8 = trim(smax)
     _K8_CACHE[key] = k8
-    return _decode_finish(meta4, chk, zlib_len, h=h, w=w, c=c,
+    return _decode_finish(meta4, metb4, chk, zlib_len, h=h, w=w, c=c,
                           nc_pad=nc_pad, k8=k8, interpret=interpret)
 
 

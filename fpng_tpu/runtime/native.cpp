@@ -301,19 +301,32 @@ int parse_dyn_header_impl(const uint8_t* src, size_t src_len, int num_chans,
     memcpy(lit_sizes, code_sizes, num_lit < 288 ? num_lit : 288);
     if (!build_table(288, lit_sizes, lut, 12)) return DEC_NOT_FPNG;
 
-    // pack run geometry (specdec.pack_lut parity).  Reserved syms 286/287
-    // keep their sym|clen with zero geometry: walks must keep advancing so
-    // a spurious lane never freezes the entry fixpoint (specdec.py:74-78);
-    // the record pass rejects them on the true chain.
+    // pack run geometry + speculative second literal (specdec.pack_lut
+    // parity; the reference's second-symbol trick, fpng.cpp:2080-2102).
+    // Reserved syms 286/287 keep their sym|clen with zero geometry:
+    // walks must keep advancing so a spurious lane never freezes the
+    // entry fixpoint (specdec.py); the record pass rejects them on the
+    // true chain.
+    uint32_t raw[4096];
+    memcpy(raw, lut, sizeof raw);
     for (size_t i = 0; i < 4096; i++) {
-        uint32_t e = lut[i];
+        uint32_t e = raw[i];
         int sym = e & 511;
+        int cl = int((e >> 9) & 15);
         if (sym > 285) { lut[i] = e & 0x1FFF; continue; }
         if (sym > 256 && e) {
             int base, nextra;
             len_sym_geometry(sym - 257, &base, &nextra);
             lut[i] = (e & 0x1FFF) | (uint32_t(nextra) << 13) |
                      (uint32_t(base) << 16);
+        } else if (sym < 256 && cl > 0) {
+            uint32_t e2 = raw[(i >> cl) & 0xFFF];
+            int s2 = e2 & 511;
+            int l2 = int((e2 >> 9) & 15);
+            uint32_t out = e & 0x1FFF;
+            if (l2 > 0 && s2 < 256 && l2 + cl <= 12)
+                out |= (uint32_t(s2) << 16) | (uint32_t(l2) << 25);
+            lut[i] = out;
         }
     }
     *p0 = int32_t(r.pos);

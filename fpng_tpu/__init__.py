@@ -128,3 +128,19 @@ def decode_batch(pngs: list[bytes], desired_channels: int = 4):
     """Decode a batch of fpng PNGs on device; returns (status, images)."""
     from .models.decoder import decode_batch as _impl
     return _impl(pngs, desired_channels)
+
+
+def encode_batch_stream(batches, flags: int = 0):
+    """Pipelined multi-batch encode: yields list[bytes] per input batch.
+
+    Overlaps batch k+1's H2D + histogram with batch k's table build,
+    D2H readback, and container assembly (the serving shape).
+    """
+    from .models.encoder import encode_batch_stream as _impl
+    return _impl(batches, flags)
+
+
+def decode_batch_stream(png_batches, desired_channels: int = 4):
+    """Pipelined multi-batch decode: yields (statuses, images) per batch."""
+    from .models.decoder import decode_batch_stream as _impl
+    return _impl(png_batches, desired_channels)

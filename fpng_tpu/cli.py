@@ -7,6 +7,8 @@ Modes (reference flags, fpng_test.cpp:984-991):
   -s          2-pass mode (FPNG_ENCODE_SLOWER)
   -u          force uncompressed (stored blocks)
   -a          swizzle green into alpha (32bpp stress corpus)
+  -A <file>   second file: its green becomes each image's alpha
+              (fpng_test.cpp:1125-1146 second-argument mode)
   -c          CSV output (schema mirrors fpng_test.cpp:1625-1632)
   -e          encoder fuzz: structured corruptions of a real image
   -E          encoder fuzz: random dims + random pixels
@@ -104,7 +106,7 @@ def _maybe_profile():
 
 
 def bench_corpus(paths: list[str], flags: int, swizzle: bool, csv: bool,
-                 batch: int) -> int:
+                 batch: int, alpha_file: str | None = None) -> int:
     """Per-file best-of-N benchmark vs the comparison codecs, plus a
     batched corpus-throughput summary (the TPU-native operating point).
 
@@ -116,6 +118,12 @@ def bench_corpus(paths: list[str], flags: int, swizzle: bool, csv: bool,
     import fpng_tpu as F
 
     MPIX = 1024.0 * 1024.0
+    alpha_img = None
+    if alpha_file is not None:
+        # second-file mode: its green channel becomes each image's alpha
+        # (the reference harness's 32bpp stress generator,
+        # fpng_test.cpp:1125-1146; dims must match)
+        alpha_img, _, _, _ = _load_source(alpha_file)
     images = []
     for p in paths:
         try:
@@ -123,7 +131,13 @@ def bench_corpus(paths: list[str], flags: int, swizzle: bool, csv: bool,
         except Exception as e:  # noqa: BLE001
             print(f"skip {p}: {e}", file=sys.stderr)
             continue
-        if swizzle:
+        if alpha_img is not None:
+            if alpha_img.shape[:2] != rgba.shape[:2]:
+                print(f"skip {p}: alpha file dims differ", file=sys.stderr)
+                continue
+            rgba = rgba.copy()
+            rgba[..., 3] = alpha_img[..., 1]
+        elif swizzle:
             rgba = rgba.copy()
             rgba[..., 3] = rgba[..., 1]
         chans = 4 if _has_alpha(rgba) else 3
@@ -136,7 +150,8 @@ def bench_corpus(paths: list[str], flags: int, swizzle: bool, csv: bool,
     from .utils.pngreader import load_png
 
     tot = {k: [0.0, 0.0, 0] for k in
-           ("qoi", "fpng", "lodepng", "stbi", "pvpng", "ref_fpng")}
+           ("qoi", "fpng", "lodepng", "stbi", "pvpng", "ref_fpng",
+            "wuffs")}
     total_px = 0
     # warm up device compiles per shape (untimed)
     seen_shapes = set()
@@ -249,6 +264,24 @@ def bench_corpus(paths: list[str], flags: int, swizzle: bool, csv: bool,
         tot["pvpng"][1] += pvt
         row += [f"{pvt:.6f}", f"{mp / pvt:.3f}"]
 
+        # wuffs decodes every benchmarked output (the strictest public
+        # PNG decoder, timed like the reference: fpng_test.cpp:1402-1445)
+        if codecs is not None:
+            st_w, wout = codecs.wuffs_decode(png)
+            if st_w != 0:
+                print(f"VERIFY FAILED (wuffs reject): {p}", file=sys.stderr)
+                return 1
+            exp = img if chn == 4 else np.concatenate(
+                [img, np.full((h, w, 1), 255, np.uint8)], axis=2)
+            if not np.array_equal(wout, exp):
+                print(f"VERIFY FAILED (wuffs pixels): {p}", file=sys.stderr)
+                return 1
+            wt = _best_of(lambda: codecs.wuffs_decode(png), 5)
+            tot["wuffs"][1] += wt
+            row += [f"{wt:.6f}", f"{mp / wt:.3f}"]
+        else:
+            row += ["", ""]
+
         if csv:
             print(", ".join(str(x) for x in row))
 
@@ -267,6 +300,10 @@ def bench_corpus(paths: list[str], flags: int, swizzle: bool, csv: bool,
         dt = tot["pvpng"][1]
         print(f"{'pvpng':10s} {'':26s}dec {dt:9.6f}s "
               f"{mp_all / dt if dt else 0:8.3f} MP/s")
+        dt = tot["wuffs"][1]
+        if dt:
+            print(f"{'wuffs':10s} {'':26s}dec {dt:9.6f}s "
+                  f"{mp_all / dt:8.3f} MP/s")
 
         # batched corpus throughput: the TPU-native operating point
         from collections import defaultdict
@@ -433,6 +470,7 @@ def main(argv: list[str] | None = None) -> int:
     batch = 8
     trials = 1000
     max_dim = 8193
+    alpha_file: str | None = None
     files: list[str] = []
     it = iter(range(len(argv)))
     i = 0
@@ -463,6 +501,9 @@ def main(argv: list[str] | None = None) -> int:
         elif a == "-d":
             i += 1
             max_dim = int(argv[i])
+        elif a == "-A":
+            i += 1
+            alpha_file = argv[i]
         else:
             files.append(a)
         i += 1
@@ -479,7 +520,8 @@ def main(argv: list[str] | None = None) -> int:
         return fuzz_decode_file(paths[0])
     if mode == "train":
         return train(paths)
-    return bench_corpus(paths, flags, swizzle, csv, batch)
+    return bench_corpus(paths, flags, swizzle, csv, batch,
+                        alpha_file=alpha_file)
 
 
 if __name__ == "__main__":

@@ -99,15 +99,28 @@ def decode_batch(pngs: list[bytes], desired_channels: int = 4,
     one device program; odd shapes and stored-block files fall back to the
     scalar path.
     """
+    state = _decode_launch(pngs, desired_channels)
+    statuses, images = _decode_finish_host(state)
+    if with_info:
+        metas = state[4]
+        infos = ([(m[1], m[2], m[3]) for m in metas] if metas
+                 else [(0, 0, 0)] * len(pngs))
+        return statuses, images, infos
+    return statuses, images
+
+
+def _decode_launch(pngs: list[bytes], desired_channels: int):
+    """Stage 1 of the pipelined decode: host container/header parse +
+    device kernel dispatch.  Returns opaque state for _decode_finish_host;
+    device arrays are in flight when this returns (modulo the record-trim
+    readback inside decode_kernel_tpu)."""
     from ..golden import convert_channels, decode_stored
 
     n = len(pngs)
     statuses = [C.FPNG_DECODE_INVALID_ARG] * n
     images: list = [None] * n
     if desired_channels not in (3, 4):
-        if with_info:
-            return statuses, images, [(0, 0, 0)] * n
-        return statuses, images
+        return (statuses, images, [], desired_channels, [])
 
     metas = [_parse_one(p) for p in pngs]
     groups: dict = {}
@@ -116,7 +129,7 @@ def decode_batch(pngs: list[bytes], desired_channels: int = 4,
         if status != C.FPNG_DECODE_SUCCESS:
             statuses[i] = status
             continue
-        if lut is None:  # stored-block path (host)
+        if lut is None:
             img = decode_stored(src, zlib_len, w, h, ch)
             if img is None:
                 statuses[i] = C.FPNG_DECODE_NOT_FPNG
@@ -126,10 +139,10 @@ def decode_batch(pngs: list[bytes], desired_channels: int = 4,
             continue
         groups.setdefault((h, w, ch), []).append(i)
 
+    launched = []
     for (h, w, ch), idxs in groups.items():
         B = len(idxs)
         max_len = max(len(metas[i][4]) for i in idxs)
-        # power-of-two stream buckets: bounds jit recompiles per shape
         nb = 64
         while nb < max_len:
             nb *= 2
@@ -143,38 +156,44 @@ def decode_batch(pngs: list[bytes], desired_channels: int = 4,
             luts[j] = pack_lut(lut)
             p0[j] = p
             zl[j] = zlib_len
-        # the walk kernel's finalized records pack the (row-padded)
-        # data offset in 23 bits (ops/specdec_tpu.py); larger rasters
-        # take the XLA path
         from ..ops.specdec_tpu import _bpl_pad
 
         if is_tpu_backend() and h * _bpl_pad(w * ch) < (1 << 23):
-            # Pallas walk kernel: S=512 chunks cannot overflow the
-            # static record bound, so there is no host-fallback path.
-            # Lane count follows the real stream length (plan_tpu's
-            # 1.5-pow2 ladder), not the buffer bucket, to avoid
-            # dead-lane record work
             imgs, ok = decode_kernel_tpu(
                 jnp.asarray(stream), jnp.asarray(luts), jnp.asarray(p0),
                 jnp.asarray(zl), h=h, w=w, c=ch,
                 nc_pad=plan_tpu(int(zl.max())))
-            overflow = np.zeros(B, bool)
+            overflow = None
         else:
             s_bits, n_chunks, max_steps = plan_chunks(nb)
             imgs, ok, overflow = decode_kernel(
                 jnp.asarray(stream), jnp.asarray(luts), jnp.asarray(p0),
                 jnp.asarray(zl), h=h, w=w, c=ch, n_chunks=n_chunks,
                 chunk_bits=s_bits, max_steps=max_steps)
-            overflow = np.asarray(overflow)
+        for a in (imgs, ok):
+            try:
+                a.copy_to_host_async()
+            except AttributeError:
+                break
+        launched.append(((h, w, ch), idxs, metas, imgs, ok, overflow))
+    return (statuses, images, launched, desired_channels, metas)
+
+
+def _decode_finish_host(state):
+    """Stage 2: device readback + per-image status/fallback resolution."""
+    from ..golden import convert_channels
+
+    statuses, images, launched, desired_channels, _metas = state
+    for (h, w, ch), idxs, metas, imgs, ok, overflow in launched:
         imgs = np.asarray(imgs)
         ok = np.asarray(ok)
+        overflow = (np.zeros(len(idxs), bool) if overflow is None
+                    else np.asarray(overflow))
         for j, i in enumerate(idxs):
             if ok[j]:
                 statuses[i] = C.FPNG_DECODE_SUCCESS
                 images[i] = convert_channels(imgs[j], desired_channels)
             elif overflow[j]:
-                # token count exceeded the device walk's static step
-                # bound (pathological tables): decode on host instead
                 from ..golden import decode_zlib
 
                 _, _, _, _, src, _, zlib_len, _ = metas[i]
@@ -186,6 +205,19 @@ def decode_batch(pngs: list[bytes], desired_channels: int = 4,
                     images[i] = convert_channels(img, desired_channels)
             else:
                 statuses[i] = C.FPNG_DECODE_NOT_FPNG
-    if with_info:
-        return statuses, images, [(m[1], m[2], m[3]) for m in metas]
     return statuses, images
+
+
+def decode_batch_stream(png_batches, desired_channels: int = 4):
+    """Pipelined multi-batch decode: yields (statuses, images) per input
+    list of PNGs, in order.  Batch k+1's host parse and device dispatch
+    run before batch k's pixel readback, overlapping host container work
+    and D2H transfers with device execution (VERDICT r2 item 3)."""
+    pending = None
+    for pngs in png_batches:
+        state = _decode_launch(list(pngs), desired_channels)
+        if pending is not None:
+            yield _decode_finish_host(pending)
+        pending = state
+    if pending is not None:
+        yield _decode_finish_host(pending)

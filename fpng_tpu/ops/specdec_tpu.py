@@ -683,6 +683,7 @@ def _decode_finish(meta4, metb4, chk, zlib_len, *, h: int, w: int, c: int,
 
 
 _K8_CACHE: dict = {}
+_K8_STALE = 8  # consecutive smaller-bound batches before the cache decays
 
 
 def decode_kernel_tpu(stream, lutp, p0, zlib_len, *, h: int, w: int, c: int,
@@ -714,22 +715,32 @@ def decode_kernel_tpu(stream, lutp, p0, zlib_len, *, h: int, w: int, c: int,
         return min(-(-max(smax, 8) // 32) * 32 if smax > 8 else 8, ST8)
 
     key = (h, w, c, nc_pad)
-    k8 = _K8_CACHE.get(key)
-    if k8 is None:
+    ent = _K8_CACHE.get(key)
+    if ent is None:
         k8 = trim(int(_np.asarray(steps).max()))
-        _K8_CACHE[key] = k8
+        _K8_CACHE[key] = [k8, 0]
         return _decode_finish(meta4, metb4, chk, zlib_len, h=h, w=w,
                               c=c, nc_pad=nc_pad, k8=k8,
                               interpret=interpret)
+    k8 = ent[0]
     out = _decode_finish(meta4, metb4, chk, zlib_len, h=h, w=w, c=c,
                          nc_pad=nc_pad, k8=k8, interpret=interpret)
     smax = int(_np.asarray(steps).max())  # overlaps the finish dispatch
     if smax <= k8:
+        # decay: after _K8_STALE consecutive batches that needed a
+        # smaller bound, drop to the current batch's bound so one deep
+        # batch cannot degrade this geometry's deposit volume forever
+        if trim(smax) < k8:
+            ent[1] += 1
+            if ent[1] >= _K8_STALE:
+                _K8_CACHE[key] = [trim(smax), 0]
+        else:
+            ent[1] = 0
         return out
-    k8 = trim(smax)
-    _K8_CACHE[key] = k8
+    _K8_CACHE[key] = [trim(smax), 0]
     return _decode_finish(meta4, metb4, chk, zlib_len, h=h, w=w, c=c,
-                          nc_pad=nc_pad, k8=k8, interpret=interpret)
+                          nc_pad=nc_pad, k8=_K8_CACHE[key][0],
+                          interpret=interpret)
 
 
 def plan_tpu(nb: int) -> int:

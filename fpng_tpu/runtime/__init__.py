@@ -91,6 +91,9 @@ def _load():
         lib.fp_build_tables_batch.argtypes = [
             u32p, ctypes.c_int64, ctypes.c_int, u32p, i32p,
             u8p, ctypes.c_int64, i32p, u32p, i32p]
+        lib.fp_defilter.restype = ctypes.c_int
+        lib.fp_defilter.argtypes = [
+            u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int, u8p]
         _lib = lib
         return _lib
 
@@ -191,3 +194,20 @@ def assemble_batch(words: np.ndarray, total_bits: np.ndarray,
         out_lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
     return [out[b, :out_lens[b]].tobytes() if out_lens[b] else None
             for b in range(B)]
+
+
+def defilter(raw: np.ndarray, fb: int) -> np.ndarray | None:
+    """Native general PNG defilter: (h, 1+bpl) uint8 -> (h, bpl).
+
+    Returns None on an invalid filter byte (caller raises).  The scalar
+    Sub/Average/Paeth chains match pvpngreader.cpp:1047-1152.
+    """
+    lib = _load()
+    h, bpl1 = raw.shape
+    bpl = bpl1 - 1
+    raw = np.ascontiguousarray(raw, np.uint8)
+    out = np.zeros((h, bpl), np.uint8)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    rc = lib.fp_defilter(raw.ctypes.data_as(u8p), h, bpl, fb,
+                         out.ctypes.data_as(u8p))
+    return out if rc == 0 else None

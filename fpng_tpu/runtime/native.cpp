@@ -714,4 +714,60 @@ void fp_assemble_batch(
     }
 }
 
+// General PNG defilter over h rows of (1 + bpl) filtered bytes (the
+// scalar chains of the Sub/Average/Paeth filters; pvpngreader.cpp's
+// unpredict_{sub,up,average,paeth} semantics, :1047-1152).  `raw` is
+// (h, 1+bpl) row-major; `out` receives (h, bpl).  fb = filter byte
+// distance (ceil(bits-per-pixel / 8), >= 1).  Returns 0, or -1 on an
+// invalid filter type byte.
+int fp_defilter(const uint8_t* raw, int64_t h, int64_t bpl, int fb,
+                uint8_t* out) {
+    for (int64_t y = 0; y < h; y++) {
+        const uint8_t* cur = raw + y * (bpl + 1);
+        const uint8_t* prev = y ? out + (y - 1) * bpl : nullptr;
+        uint8_t* rec = out + y * bpl;
+        switch (cur[0]) {
+            case 0:
+                memcpy(rec, cur + 1, size_t(bpl));
+                break;
+            case 1:
+                for (int64_t x = 0; x < bpl; x++)
+                    rec[x] = uint8_t(cur[1 + x] +
+                                     (x >= fb ? rec[x - fb] : 0));
+                break;
+            case 2:
+                if (prev)
+                    for (int64_t x = 0; x < bpl; x++)
+                        rec[x] = uint8_t(cur[1 + x] + prev[x]);
+                else
+                    memcpy(rec, cur + 1, size_t(bpl));
+                break;
+            case 3:
+                for (int64_t x = 0; x < bpl; x++) {
+                    int left = x >= fb ? rec[x - fb] : 0;
+                    int up = prev ? prev[x] : 0;
+                    rec[x] = uint8_t(cur[1 + x] + ((left + up) >> 1));
+                }
+                break;
+            case 4:
+                for (int64_t x = 0; x < bpl; x++) {
+                    int a = x >= fb ? rec[x - fb] : 0;
+                    int b = prev ? prev[x] : 0;
+                    int c = (prev && x >= fb) ? prev[x - fb] : 0;
+                    int p = a + b - c;
+                    int pa = p > a ? p - a : a - p;
+                    int pb = p > b ? p - b : b - p;
+                    int pc = p > c ? p - c : c - p;
+                    int pred = (pa <= pb && pa <= pc) ? a
+                               : (pb <= pc ? b : c);
+                    rec[x] = uint8_t(cur[1 + x] + pred);
+                }
+                break;
+            default:
+                return -1;
+        }
+    }
+    return 0;
+}
+
 }  // extern "C"

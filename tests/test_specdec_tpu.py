@@ -88,15 +88,65 @@ def test_walk_kernel_rejects_corruption():
         .astype(np.uint8)
     pngs = F.encode_batch(imgs, 0)
     stream, luts, p0, zl, nb = _prep(pngs)
+    from fpng_tpu.golden import decode_zlib
+
+    h, w, ch = imgs.shape[1:]
+    hdr_end = (int(p0[0]) + 7) // 8  # kernel reads only bits >= p0
     for pos in (30, 60, len(pngs[0]) // 3):
         bad = stream.copy()
         bad[0, pos] ^= 0xFF
         di, ok = _dec(bad, luts, p0, zl, nb, imgs.shape[1:])
         okh = np.asarray(ok)
-        if okh[0]:
-            # a flipped bit can decode to the same-structure stream only
-            # if the pixels still match the re-encode; ensure no silent
-            # acceptance of wrong pixels for image 0
-            assert not np.array_equal(np.asarray(di)[0], imgs[0]) or True
+        if pos < hdr_end:
+            # header-region flips are invisible to the kernel (the LUT
+            # was parsed from the pristine header; the public API path
+            # re-parses and catches these): output must be unchanged
+            assert okh[0]
+            assert np.array_equal(np.asarray(di)[0], imgs[0])
+        else:
+            # differential vs the scalar golden model on the SAME
+            # corrupted stream: agree on acceptance, and an accepted
+            # stream must decode to the oracle's pixels (no silent
+            # corruption)
+            oracle = decode_zlib(bad[0].tobytes(), int(zl[0]), w, h, ch)
+            assert bool(okh[0]) == (oracle is not None)
+            if okh[0]:
+                assert np.array_equal(np.asarray(di)[0], oracle)
         assert okh[1]  # untouched image still decodes
         assert np.array_equal(np.asarray(di)[1], imgs[1])
+
+
+def test_k8_cache_decays_after_deep_batch():
+    """A pathological deep batch must not inflate the record-trim bound
+    for its geometry forever (VERDICT r2 weak #8)."""
+    import fpng_tpu.ops.specdec_tpu as SD
+
+    rng = np.random.default_rng(11)
+    # same (h, w, c): noise compresses poorly (deep walks), flat runs
+    # shallow; share nc_pad so both hit the same cache key
+    # compressible but dense (stored fallback never triggers; walks deep)
+    noise = rng.normal(128, 12, (1, 32, 32, 3)).clip(0, 255).astype(np.uint8)
+    flat = np.full((1, 32, 32, 3), 77, np.uint8)
+    flat[:, ::6] = 13
+    p_noise = F.encode_batch(noise, 0)
+    p_flat = F.encode_batch(flat, 0)
+    sn, ln_, pn_, zn, nbn = _prep(p_noise)
+    sf, lf, pf, zf, _ = _prep(p_flat)
+    ncp = plan_tpu(nbn)
+    key = (32, 32, 3, ncp)
+    SD._K8_CACHE.pop(key, None)
+
+    def dec(s, l, p, z):
+        return decode_kernel_tpu(
+            jnp.asarray(s), jnp.asarray(l), jnp.asarray(p),
+            jnp.asarray(z), h=32, w=32, c=3, nc_pad=ncp, interpret=True)
+
+    di, ok = dec(sn, ln_, pn_, zn)
+    assert np.asarray(ok).all() and np.array_equal(np.asarray(di), noise)
+    deep_k8 = SD._K8_CACHE[key][0]
+    for _ in range(SD._K8_STALE):
+        di, ok = dec(sf, lf, pf, zf)
+        assert np.asarray(ok).all()
+        assert np.array_equal(np.asarray(di), flat)
+    assert SD._K8_CACHE[key][0] < deep_k8
+    SD._K8_CACHE.pop(key, None)

@@ -142,8 +142,104 @@ def main():
     sts, outs = F.decode_batch([bytes(bad)], 3)
     assert sts[0] != C.FPNG_DECODE_SUCCESS
     print("negative probes ok")
+
+    failures += corrupted_stream_sweep(tiles3)
     print("FAILURES:", failures)
     sys.exit(1 if failures else 0)
+
+
+def corrupted_stream_sweep(tiles3: np.ndarray, rounds: int = 10) -> int:
+    """Real-hardware corrupted-stream sweep for the Pallas walk kernel.
+
+    Ports test_decode_fuzz.py's payload-corruption classes to the device
+    decoder: several hundred corrupted deflate streams run through
+    decode_kernel_tpu on the TPU, each checked DIFFERENTIALLY against the
+    scalar golden model on the same corrupted bytes - the kernel must
+    agree on acceptance, and any accepted stream must decode to the
+    oracle's pixels (reject-or-correct; no silent corruption).  The
+    in-kernel constraint accumulators (ops/specdec_tpu.py) are the unit
+    under test; corruption stays past each image's header end so the
+    pristine pre-parsed LUT remains the right table for both sides.
+    """
+    import jax.numpy as jnp
+
+    from fpng_tpu.golden import decode_zlib
+    from fpng_tpu.models.decoder import _parse_one
+    from fpng_tpu.ops.specdec import pack_lut
+    from fpng_tpu.ops.specdec_tpu import decode_kernel_tpu, plan_tpu
+
+    B, TH, TW = 16, 64, 64
+    tiles = np.ascontiguousarray(tiles3[:8, :TH, :TW])
+    tiles = np.concatenate([tiles, 255 - tiles])[:B]
+    pngs = F.encode_batch(tiles, 0)
+    metas = [_parse_one(p) for p in pngs]
+    assert all(m[7] is not None for m in metas)
+    nb = 64
+    while nb < max(len(m[4]) for m in metas):
+        nb *= 2
+    base = np.zeros((B, nb), np.uint8)
+    luts = np.zeros((B, 4096), np.uint32)
+    p0 = np.zeros(B, np.int32)
+    zl = np.zeros(B, np.int32)
+    for j, m in enumerate(metas):
+        _, _, _, _, src, p, z, lut = m
+        base[j, :len(src)] = np.frombuffer(src, np.uint8)
+        luts[j] = pack_lut(lut)
+        p0[j] = p
+        zl[j] = z
+    nc_pad = plan_tpu(int(zl.max()))
+    hdr_end = (p0 + 7) // 8
+    rng = np.random.default_rng(0xC0DE)
+
+    fails = total = agree_rej = agree_ok = 0
+    lj = jnp.asarray(luts)
+    pj = jnp.asarray(p0)
+    for rnd in range(rounds):
+        bad = base.copy()
+        zr = zl.copy()
+        for j in range(B):
+            lo, hi = int(hdr_end[j]), int(zl[j])
+            cls = (rnd + j) % 5
+            if cls == 0:    # single bit flips
+                for pos in rng.integers(lo, hi, 3):
+                    bad[j, pos] ^= 1 << int(rng.integers(0, 8))
+            elif cls == 1:  # byte xor burst
+                pos = int(rng.integers(lo, hi - 4))
+                bad[j, pos:pos + 4] ^= rng.integers(
+                    1, 256, 4).astype(np.uint8)
+            elif cls == 2:  # zero-fill run (kills the code stream)
+                pos = int(rng.integers(lo, hi - 8))
+                bad[j, pos:pos + 8] = 0
+            elif cls == 3:  # truncation via shortened zlib length
+                zr[j] = int(rng.integers(lo + 5, hi))
+                bad[j, zr[j]:] = 0
+            else:           # tail corruption near EOB/adler
+                pos = int(rng.integers(max(lo, hi - 9), hi))
+                bad[j, pos] ^= 0xFF
+        di, ok = decode_kernel_tpu(
+            jnp.asarray(bad), lj, pj, jnp.asarray(zr),
+            h=TH, w=TW, c=3, nc_pad=nc_pad)
+        di = np.asarray(di)
+        okh = np.asarray(ok)
+        for j in range(B):
+            total += 1
+            oracle = decode_zlib(bad[j].tobytes(), int(zr[j]), TW, TH, 3)
+            if bool(okh[j]) != (oracle is not None):
+                print(f"SWEEP FAIL r{rnd}[{j}]: kernel ok={bool(okh[j])} "
+                      f"oracle={'ok' if oracle is not None else 'reject'}")
+                fails += 1
+            elif okh[j]:
+                agree_ok += 1
+                if not np.array_equal(di[j], oracle):
+                    print(f"SWEEP FAIL r{rnd}[{j}]: accepted pixels "
+                          f"diverge from oracle")
+                    fails += 1
+            else:
+                agree_rej += 1
+    print(f"corrupted-stream sweep: {total} streams, "
+          f"{agree_rej} rejected, {agree_ok} accepted-and-equal, "
+          f"{fails} failures")
+    return fails
 
 
 if __name__ == "__main__":

@@ -162,7 +162,8 @@ def _decode_launch(pngs: list[bytes], desired_channels: int):
             imgs, ok = decode_kernel_tpu(
                 jnp.asarray(stream), jnp.asarray(luts), jnp.asarray(p0),
                 jnp.asarray(zl), h=h, w=w, c=ch,
-                nc_pad=plan_tpu(int(zl.max())))
+                nc_pad=plan_tpu(int(zl.max())),
+                zlib_len_max=int(zl.max()))
             overflow = None
         else:
             s_bits, n_chunks, max_steps = plan_chunks(nb)

@@ -67,9 +67,22 @@ _WROWS = _WL // 128
 
 
 def _window_deposit(vals, offs, idxv, wl_words, out_ref, pending, prevr,
-                    base0=None):
+                    base0=None, vals_hi=None, skip_empty=False,
+                    pair16=False):
     """Deposit one flat (_U,) sub-tile of (uint32 value, bit offset) units
     into out_ref through the carried window (pending/prevr scratch).
+
+    vals_hi turns each unit into a 64-bit value (vals = low word, vals_hi
+    = high word at offs+32): contributions span three output words, so
+    the scatter runs 12 byte planes and a 3-way positional combine
+    (word, word+1, word+2) instead of 8 planes / 2-way.
+
+    pair16 asserts every offset is 16-bit aligned (the decoder's slot
+    records): the spill word then only ever receives the value's high
+    16 bits, so its top two byte planes are identically zero and the
+    scatter runs 6 planes instead of 8 - fewer matmul M rows, which is
+    what bounds how large a window (and so how few scalar-taxed window
+    walks) a group can use.
 
     wl_words sets the window geometry (word width / row count) so callers
     can trade scatter width against window-walk iterations; the pending
@@ -92,24 +105,37 @@ def _window_deposit(vals, offs, idxv, wl_words, out_ref, pending, prevr,
     sh = (offs & 31).astype(jnp.uint32)
     lo = vals << sh
     hi = (vals >> jnp.uint32(1)) >> (jnp.uint32(31) - sh)
+    if vals_hi is not None:
+        hi = hi | (vals_hi << sh)
+        top = (vals_hi >> jnp.uint32(1)) >> (jnp.uint32(31) - sh)
+    else:
+        top = None
     cols128 = jax.lax.broadcasted_iota(jnp.int32, (offs.shape[0], 128), 1)
 
-    n_eff = jnp.max(jnp.where((lo | hi) != 0, idxv, -1)) + 1
+    nz = lo | hi if top is None else lo | hi | top
+    n_eff = jnp.max(jnp.where(nz != 0, idxv, -1)) + 1
 
     def one_window(i0, base_row):
         wl = word - base_row * 128
-        in_win = (idxv >= i0) & (wl < wl_words - 1)
+        in_win = (idxv >= i0) & \
+            (wl < wl_words - (1 if top is None else 2))
         # fold the window mask into wl (Mosaic cannot broadcast an
         # i1 minor dim): out-of-window units match no column
         wl_m = jnp.where(in_win, wl, -1)
         mlo = jnp.where(in_win, lo, 0)
         mhi = jnp.where(in_win, hi, 0)
 
-        def byte_planes(v):
+        def byte_planes(v, nb=4):
             return jnp.stack(
-                [(v >> (8 * j)) & 0xFF for j in range(4)]) \
+                [(v >> (8 * j)) & 0xFF for j in range(nb)]) \
                 .astype(jnp.int32).astype(jnp.bfloat16)
-        planes = jnp.concatenate([byte_planes(mlo), byte_planes(mhi)])
+        # plane groups: (byte rows, word shift) per contributing word
+        nb_hi = 2 if pair16 else 4
+        groups = [(byte_planes(mlo), 4, 0), (byte_planes(mhi, nb_hi),
+                                             nb_hi, 1)]
+        if top is not None:
+            groups.append((byte_planes(jnp.where(in_win, top, 0)), 4, 2))
+        planes = jnp.concatenate([g[0] for g in groups])
 
         # Row-factored one-hot: building a full (group, wl) one-hot costs
         # ~2*g*wl vector ops - more than the matmul's MXU time.  The
@@ -123,23 +149,48 @@ def _window_deposit(vals, offs, idxv, wl_words, out_ref, pending, prevr,
         c_u = jnp.where(wl_m >= 0, wl_m & 127, -1)
         r_u = wl_m >> 7
         ohc = (cols128 == c_u[:, None]).astype(jnp.bfloat16)
+        P = planes.shape[0]
+        # chunked stacking: wrows skinny (P, group) matmuls each pad M to
+        # the MXU's 128 rows, so fuse as many rows per matmul as fit -
+        # ceil(wrows*P/128) MXU passes total instead of wrows
+        nmm = -(-(wrows * P) // 128)
+        chunk = -(-wrows // nmm)
         rows_m = []
-        for r in range(wrows):
-            pr = planes * (r_u == r)[None, :].astype(jnp.bfloat16)
-            rows_m.append(jnp.dot(pr, ohc,
-                                  preferred_element_type=jnp.float32)
-                          .astype(jnp.int32))
+        for r0 in range(0, wrows, chunk):
+            rs = range(r0, min(r0 + chunk, wrows))
+            big = jnp.concatenate(
+                [planes * (r_u == r)[None, :].astype(jnp.bfloat16)
+                 for r in rs], axis=0)
+            allr = jnp.dot(big, ohc,
+                           preferred_element_type=jnp.float32) \
+                .astype(jnp.int32)
+            rows_m += [allr[i * P:(i + 1) * P] for i in range(len(rs))]
         lane = jax.lax.broadcasted_iota(jnp.int32, (4, 128), 1)
+        zrow = None
         win_rows = []
         for r in range(wrows):
-            lo_r = rows_m[r][:4]
-            hi_r = rows_m[r][4:]
-            prev_hi = rows_m[r - 1][4:] if r else jnp.zeros_like(hi_r)
-            # hi bytes land one word later; word 0 of a row takes the
-            # previous row's word-127 carry
-            hi_sh = jnp.where(lane > 0, pltpu.roll(hi_r, 1, 1),
-                              pltpu.roll(prev_hi, 1, 1))
-            ws = lo_r + hi_sh
+            ws = None
+            base = 0
+            for arr, nb, shw in groups:
+                cur = rows_m[r][base:base + nb]
+                if nb < 4:
+                    if zrow is None:
+                        zrow = jnp.zeros((4 - nb, 128), jnp.int32)
+                    cur = jnp.concatenate([cur, zrow])
+                if shw == 0:
+                    contrib = cur
+                else:
+                    # bytes land shw words later; the first shw words of
+                    # a row take the previous row's tail carry
+                    prev = rows_m[r - 1][base:base + nb] if r \
+                        else jnp.zeros_like(rows_m[0][base:base + nb])
+                    if nb < 4:
+                        prev = jnp.concatenate([prev, zrow])
+                    contrib = jnp.where(lane > shw - 1,
+                                        pltpu.roll(cur, shw, 1),
+                                        pltpu.roll(prev, shw, 1))
+                ws = contrib if ws is None else ws + contrib
+                base += nb
             win_rows.append((ws[0:1] | (ws[1:2] << 8) | (ws[2:3] << 16) |
                              (ws[3:4] << 24)))
         win = jnp.concatenate(win_rows, axis=0).astype(jnp.uint32)
@@ -160,13 +211,22 @@ def _window_deposit(vals, offs, idxv, wl_words, out_ref, pending, prevr,
             jnp.where(idxv >= i0, word, 0x7FFFFFFF)) // 128
         return one_window(i0, base_row)
 
-    i0 = jnp.int32(0)
-    if base0 is not None:
-        # straight-line first window at the caller-supplied base row;
-        # clamp to the carry so a malformed (non-monotone) offset stream
-        # degrades to extra loop windows instead of rewinding the carry
-        i0 = one_window(i0, jnp.maximum(base0, prevr[0]))
-    jax.lax.while_loop(lambda i: i < n_eff, win_body, i0)
+    def run_all():
+        i0 = jnp.int32(0)
+        if base0 is not None:
+            # straight-line first window at the caller-supplied base row;
+            # clamp to the carry so a malformed (non-monotone) offset
+            # stream degrades to extra loop windows instead of rewinding
+            # the carry
+            i0 = one_window(i0, jnp.maximum(base0, prevr[0]))
+        jax.lax.while_loop(lambda i: i < n_eff, win_body, i0)
+
+    if skip_empty:
+        # all-zero sub-tiles (e.g. the decoder's fill records past dead
+        # lanes) deposit nothing - skip even the straight-line window
+        pl.when(n_eff > 0)(run_all)
+    else:
+        run_all()
 
 
 def _flat_idx():
@@ -235,7 +295,9 @@ def _make_deposit_kernel(group: int, wl: int, zero_init: bool,
                     .reshape(group)
                 base0 = (offs_ref[0, 0, grows * k, 0] >> 5) // 128
             _window_deposit(vals, offs, idxv, wl, out_ref, pending,
-                            prevr, base0=base0)
+                            prevr, base0=base0,
+                            skip_empty=bool(packed16),
+                            pair16=bool(packed16))
 
     return kernel
 
@@ -302,7 +364,7 @@ def scatter_bits_tpu(vals: jnp.ndarray, nbits: jnp.ndarray,
 def scatter_packed16_tpu(meta: jnp.ndarray, num_words: int,
                          metb: jnp.ndarray | None = None,
                          interpret: bool = False,
-                         group: int = 2048, wl: int = 1152) -> jnp.ndarray:
+                         group: int = 4096, wl: int = 2176) -> jnp.ndarray:
     """Deposit (B, N) packed records - (value9 << 23) | slot23 int32,
     16-bit units at bit offset slot*16, monotone slots - into
     (B, num_words) uint32 words.  Always zero-initialized (the record

@@ -48,7 +48,7 @@ DESC_TOK_START = 1 << 26
 
 import os as _os
 
-_WLE = int(_os.environ.get("FPNG_TPU_WLE", "512"))  # encoder window words
+_WLE = int(_os.environ.get("FPNG_TPU_WLE", "1024"))  # encoder window words
 _WRE = _WLE // 128
 _GUE = int(_os.environ.get("FPNG_TPU_GUE", "1024"))  # units per window walk
 
@@ -77,8 +77,9 @@ def _unit_decode(d, tbl_rows, sub8):
     return val, n, ts
 
 
-def _encfuse_kernel(base_ref, desc0_ref, desc1_ref, tbl_ref, out_ref,
-                    tot_ref, ltk_ref, pending, prevr, carry, ltokv):
+def _encfuse_kernel(base_ref, desc0_ref, desc1_ref, desc2_ref, desc3_ref,
+                    tbl_ref, out_ref, tot_ref, ltk_ref, pending, prevr,
+                    carry, ltokv):
     b = pl.program_id(0)
     t = pl.program_id(1)
     sub8 = 8 * _SUB
@@ -102,18 +103,27 @@ def _encfuse_kernel(base_ref, desc0_ref, desc1_ref, tbl_ref, out_ref,
     subl = jax.lax.broadcasted_iota(jnp.int32, (sub8, 128), 0)
     tbl_rows = [tbl_ref[0, r:r + 1, :] for r in range(3)]
 
-    # --- step-wide pair decode + merge + offsets -------------------------
-    # Stream units arrive de-interleaved: desc0 holds even stream
-    # positions, desc1 the odd ones at the same (row, lane).  An adjacent
-    # pair always fits one uint32 (literal/filter/EOB codes are <= 12
-    # bits, a match unit is <= 18, and two match units can never be
-    # adjacent - a match occupies a pixel's first byte and pixels are
-    # >= 3 units apart - so a pair is <= 30 bits), halving the units the
-    # cumsum and the deposit walk have to move.
+    # --- step-wide quad decode + merge + offsets -------------------------
+    # Stream units arrive de-interleaved 4 ways: desc_k holds stream
+    # positions 4i+k at the same (row, lane).  An adjacent PAIR always
+    # fits one uint32 (literal/filter/EOB codes are <= 12 bits, a match
+    # unit is <= 18, and two match units can never be adjacent - a match
+    # occupies a pixel's first byte and pixels are >= 3 units apart - so
+    # a pair is <= 30 bits); two pairs merge into one 64-bit deposit
+    # unit (lo, hi words), quartering the units the cumsum and the
+    # deposit walks have to move.
     val0, n0, ts0 = _unit_decode(desc0_ref[0, 0, :, :], tbl_rows, sub8)
     val1, n1, ts1 = _unit_decode(desc1_ref[0, 0, :, :], tbl_rows, sub8)
-    val = val0 | (val1 << n0.astype(jnp.uint32))
-    n = n0 + n1
+    val2, n2, ts2 = _unit_decode(desc2_ref[0, 0, :, :], tbl_rows, sub8)
+    val3, n3, ts3 = _unit_decode(desc3_ref[0, 0, :, :], tbl_rows, sub8)
+    va = val0 | (val1 << n0.astype(jnp.uint32))
+    na = n0 + n1
+    vb = val2 | (val3 << n2.astype(jnp.uint32))
+    nb = n2 + n3
+    na_u = na.astype(jnp.uint32)
+    v_lo = va | (vb << na_u)
+    v_hi = (vb >> jnp.uint32(1)) >> (jnp.uint32(31) - na_u)
+    n = na + nb
 
     s_inc = jnp.dot(n.astype(jnp.bfloat16), lt128,
                     preferred_element_type=jnp.float32).astype(jnp.int32)
@@ -129,20 +139,22 @@ def _encfuse_kernel(base_ref, desc0_ref, desc1_ref, tbl_ref, out_ref,
     offs = cb + rb + s_inc - n
     carry[0] = cb + jnp.sum(n)
     # last token start: vector running max, reduced once at the end
-    # (the pair's odd unit starts n0 bits into the pair)
-    ltokv[...] = jnp.maximum(
-        ltokv[...],
-        jnp.maximum(jnp.where(ts0 == 1, offs, -1),
-                    jnp.where(ts1 == 1, offs + n0, -1)))
+    # (sub-unit k starts sum(n_<k) bits into the quad)
+    lt = jnp.maximum(jnp.where(ts0 == 1, offs, -1),
+                     jnp.where(ts1 == 1, offs + n0, -1))
+    lt = jnp.maximum(lt, jnp.where(ts2 == 1, offs + na, -1))
+    lt = jnp.maximum(lt, jnp.where(ts3 == 1, offs + na + n2, -1))
+    ltokv[...] = jnp.maximum(ltokv[...], lt)
 
     # scalar running bit offset per deposit group: each group's first-unit
     # word row feeds _window_deposit's straight-line first window
     gbits = cb
     for k in range((8 * _SUB) // grows):
-        vf = val[grows * k:grows * (k + 1), :].reshape(_GUE)
+        vf = v_lo[grows * k:grows * (k + 1), :].reshape(_GUE)
+        vh = v_hi[grows * k:grows * (k + 1), :].reshape(_GUE)
         of = offs[grows * k:grows * (k + 1), :].reshape(_GUE)
         _window_deposit(vf, of, idxv, _WLE, out_ref, pending, prevr,
-                        base0=(gbits >> 5) // 128)
+                        base0=(gbits >> 5) // 128, vals_hi=vh)
         gbits = gbits + jnp.sum(n[grows * k:grows * (k + 1), :])
 
     @pl.when(t == pl.num_programs(1) - 1)
@@ -162,31 +174,29 @@ def encode_bits_fused(desc: jnp.ndarray, tbl: jnp.ndarray,
     Returns (words (B, num_words) uint32, total_bits (B,), last_tok (B,)).
     """
     B, N = desc.shape
-    step = _U * _SUB          # merged pairs per grid step
-    N2 = -(-N // 2)           # pairs in the stream
-    T = -(-N2 // step)
-    pad = 2 * T * step - N
+    step = _U * _SUB          # merged quads per grid step
+    N4 = -(-N // 4)           # quads in the stream
+    T = -(-N4 // step)
+    pad = 4 * T * step - N
     if pad:
         desc = jnp.concatenate(
             [desc, jnp.zeros((B, pad), desc.dtype)], axis=1)
     sub8 = 8 * _SUB
-    # de-interleave: even/odd stream positions land at the same
-    # (row, lane) of two tiles so the kernel merges pairs elementwise
-    desc2 = desc.astype(jnp.int32).reshape(B, T * step, 2)
-    desc0 = desc2[:, :, 0].reshape(B, T, sub8, 128)
-    desc1 = desc2[:, :, 1].reshape(B, T, sub8, 128)
+    # de-interleave 4 ways: stream positions 4i+k land at the same
+    # (row, lane) of four tiles so the kernel merges quads elementwise
+    desc4 = desc.astype(jnp.int32).reshape(B, T * step, 4)
+    descs = [desc4[:, :, k].reshape(B, T, sub8, 128) for k in range(4)]
     rows = -(-num_words // 128) + _WRE + 1
 
+    tile_spec = pl.BlockSpec((1, 1, sub8, 128), lambda b, t: (b, t, 0, 0),
+                             memory_space=pltpu.VMEM)
     out, tot, ltk = pl.pallas_call(
         _encfuse_kernel,
         grid=(B, T),
         in_specs=[
             pl.BlockSpec((B, 1), lambda b, t: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, sub8, 128), lambda b, t: (b, t, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, sub8, 128), lambda b, t: (b, t, 0, 0),
-                         memory_space=pltpu.VMEM),
+            tile_spec, tile_spec, tile_spec, tile_spec,
             pl.BlockSpec((1, 8, 128), lambda b, t: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -210,7 +220,7 @@ def encode_bits_fused(desc: jnp.ndarray, tbl: jnp.ndarray,
             pltpu.VMEM((sub8, 128), jnp.int32),
         ],
         interpret=interpret,
-    )(base_bits.astype(jnp.int32).reshape(B, 1), desc0, desc1,
+    )(base_bits.astype(jnp.int32).reshape(B, 1), *descs,
       tbl.astype(jnp.int32))
     return (out.reshape(B, rows * 128)[:, :num_words],
             tot[:, 0], ltk[:, 0])

@@ -5,9 +5,9 @@ time in per-step gathers, which XLA:TPU runs at ~100 Melem/s.  This kernel
 keeps every per-token lookup inside VMEM using the two vector-gather forms
 Mosaic supports on (8, 128) tiles:
 
-  * per-lane chunk bytes ride in columns of a (72, 1024) tile, so a
-    sublane-dim take_along_axis reads each lane's 24-bit window directly
-    (lanes' streams are private per column);
+  * per-lane stream words ride in columns of a (24, 1024) tile, so two
+    sublane-dim take_along_axis gathers read each lane's pos-aligned
+    32-bit window directly (lanes' streams are private per column);
   * the shared 4096-entry packed LUT is 4 (8, 128) tiles; a lane-dim
     gather (column select) composed with a sublane-dim gather (row select)
     resolves a full 12-bit lookup per 128-lane slice.
@@ -18,9 +18,18 @@ rows store at sublane-aligned offsets and the ~1.3us/iteration loop tax
 amortizes.  Each step consumes up to TWO tokens via the LUT's
 speculatively packed second literal (the reference decoder's own trick,
 fpng.cpp:2080-2102, see pack_lut) - fewer walk steps AND fewer record
-slots.  The entry fixpoint stays in XLA (pass0 + incremental re-walks);
-the RECORD pass receives the fixpoint's global per-lane output offsets
-and finalizes everything in-kernel:
+slots.
+
+Pass structure (one full walk total): pass0 records RAW per-step rows
+(position, sym/outlen/clen/flags, packed second literal) for every lane
+from its byte-aligned guess.  The entry fixpoint then re-walks ONLY
+lanes whose corrected entry is absent from their own recorded position
+set - a recorded path containing the entry IS the walk from that entry
+(deterministic continuation), so self-synchronized lanes never walk
+twice; diverged lanes update their record columns in place.  A cheap
+finalize kernel (_make_finalize_kernel; no window reads or LUT gathers)
+masks each lane's pre-convergence prefix, converts raw rows into
+deposit records
 
   meta = (0x100 | sym) << 23 | data_offset23   primary data literal
          clamped monotone data offset          otherwise
@@ -28,7 +37,7 @@ and finalizes everything in-kernel:
 
 (data offsets exclude filter-byte slots and pad each row to bpl_pad;
 a step's two literals are output-adjacent, so metb rides the same
-32-bit deposit unit's high half), plus the reference's per-record
+32-bit deposit unit's high half), and runs the reference's per-record
 constraint checks reduced to per-group (fail, eob_end, bad_end)
 scalars.  The finish stage is then: packed-pair 16-bit-slot deposit ->
 the fused fill+defilter expansion kernel.
@@ -50,81 +59,115 @@ from .bitpack import deposit_bits
 import os as _os
 
 S_TPU = 512          # chunk bits (walk-kernel path)
-LPI = int(_os.environ.get("FPNG_TPU_LPI_REC", "1024"))  # record-pass lanes
+# walk-pass lane width: every pass carries three ST8-row record blocks,
+# and fixpoint re-walks alias them in+out (6 streamed blocks, double-
+# buffered), so 512 lanes keeps the scoped VMEM under the 16MB budget
+LPI = int(_os.environ.get("FPNG_TPU_LPI_REC", "512"))
 ST8 = S_TPU + 24     # record rows (8-aligned; covers 1-bit/token worst case)
-_TILES = 9           # ceil((S/8 + 4) / 8) 8-row stream tiles per lane
-_RT = _TILES * 8     # stream tile rows (72)
+_WPL = S_TPU // 32   # 32-bit stream words per lane (16)
+_TILES = 3           # 8-row word-tile count covering _WPL + 2 halo words
+_RT = _TILES * 8     # stream tile rows (24; rows 18-23 are padding)
 
 
-def _make_walk_kernel(lpi: int, with_records: bool, geom=None):
-    """Kernel factory: lpi lanes per instance; records optional (the
-    fixpoint passes only need exits/outbytes).
+def _make_walk_kernel(lpi: int, rmw: bool, guard: bool = True):
+    """Kernel factory: lpi lanes per instance.
 
-    geom = (row_stride, total, c) makes the record pass emit FINALIZED
-    records - packed deposit units with global output offsets - and run
-    the reference's per-record constraint checks in-kernel, reducing to
-    per-group (fail, eob_end, bad_end) scalars.  This removes the
-    O(records) XLA reconstruction the finish stage used to do (cumsums,
-    fail logic, transposed decode of sym/clen/run)."""
+    Every pass records RAW per-step rows (see _walk_body) - the record
+    pass IS the fixpoint pass.  rmw passes alias the previous record
+    arrays and only overwrite columns of lanes being re-walked (entry
+    != BIG), so incremental fixpoint re-walks update just the diverged
+    lanes' records in place."""
 
-    def kernel(zl8_ref, w24_ref, lut_ref, ent_ref, *rest):
-        if with_records:
-            out0_ref = rest[0]
-            (exit_ref, outb_ref, steps_ref, meta_ref, metb_ref,
-             chk_ref) = rest[1:7]
-            scr = rest[7:]
+    def kernel(rm_ref, zl8_ref, w24_ref, lut_ref, ent_ref, *rest):
+        old_refs = None
+        if rmw:
+            # aliased posr/raw0/raw1/nst: the INPUT refs carry the
+            # streamed-in old content (output blocks start uninitialized
+            # on TPU)
+            old_refs = rest[:4]
+            rest = rest[4:]
+        (exit_ref, outb_ref, posr_ref, raw0_ref, raw1_ref,
+         nst_ref) = rest[:6]
+        scr = rest[6:]
+        # the scalar-prefetched remap names the ACTUAL group this grid
+        # step processes (sparse re-walks sort active groups first and
+        # point every padding step at the last active one, so Mosaic's
+        # block-revisit skips their block traffic entirely).  A padding
+        # step would recompute the repeated group's whole walk - guard
+        # the entire body so duplicates cost nothing (their VMEM blocks
+        # still hold the first visit's results for writeback).
+        b = pl.program_id(0)
+        g = pl.program_id(1)
+        gm = rm_ref[b, g]
+
+        def run():
+            _walk_body(gm, zl8_ref, w24_ref, lut_ref, ent_ref, exit_ref,
+                       outb_ref, posr_ref, raw0_ref, raw1_ref, nst_ref,
+                       scr, lpi, old_refs)
+
+        if guard:
+            dup = (g > 0) & (gm == rm_ref[b, jnp.maximum(g - 1, 0)])
+            pl.when(~dup)(run)
         else:
-            out0_ref = chk_ref = None
-            exit_ref, outb_ref = rest[:2]
-            steps_ref = meta_ref = metb_ref = None
-            scr = rest[2:]
-        _walk_body(zl8_ref, w24_ref, lut_ref, ent_ref, out0_ref, exit_ref,
-                   outb_ref, steps_ref, meta_ref, metb_ref, chk_ref,
-                   scr, lpi, with_records, geom)
+            # interpret mode cannot lower pl.when around the body; the
+            # guard is purely a perf optimization (duplicate steps
+            # recompute identical results), so plain execution is fine
+            run()
 
     return kernel
 
 
 _INF = 0x7FFFFFFF
+_BIG = 0x3FFFFFFF  # masked-lane entry sentinel (> every stream position)
+_MEMB = 32  # fixpoint membership window (= one record-trim granule)
 
 
-def _walk_body(zl8_ref, w24_ref, lut_ref, ent_ref, out0_ref,
-               exit_ref, outb_ref, steps_ref, meta_ref, metb_ref, chk_ref,
-               scr, LPI, with_records, geom):
-    if with_records:
-        pos_s, outl_s, act_s, fail_s, eob_s, bad_s = scr
-    else:
-        pos_s, outl_s, act_s = scr
-    g = pl.program_id(1)
+def _walk_body(g, zl8_ref, w24_ref, lut_ref, ent_ref, exit_ref, outb_ref,
+               posr_ref, raw0_ref, raw1_ref, nst_ref, scr, LPI,
+               old_refs):
+    pos_s, outl_s, act_s, nst_s = scr
     zl8 = zl8_ref[pl.program_id(0), 0]
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (8, LPI), 1) + g * LPI
     lane_bit0 = lane * S_TPU
-    lane_byte0 = lane_bit0 >> 3
+    lane_word0 = lane * _WPL
     bound = jnp.minimum(lane_bit0 + S_TPU, zl8)
 
     ent = jnp.broadcast_to(ent_ref[0, 0], (8, LPI)).astype(jnp.int32)
-    if with_records:
-        out0 = jnp.broadcast_to(out0_ref[0, 0], (8, LPI)).astype(jnp.int32)
-        row_stride, total, cch, bpl_pad = geom
-        bpl = row_stride - 1
-        # data raster rows padded to bpl_pad so the expansion kernel's
-        # blocks tile cleanly (pad slots receive no records)
-        hbplp = (total // row_stride) * bpl_pad
+    wm = ent != _BIG  # columns this pass owns (rmw write mask)
 
     tiles = [w24_ref[0, 0, 8 * t:8 * (t + 1), :] for t in range(_TILES)]
     luts = [lut_ref[0, t].astype(jnp.int32) for t in range(4)]
     subl = jax.lax.broadcasted_iota(jnp.int32, (8, LPI), 0)
 
-    def step(pos, outl, act, fail, eobm, badm):
-        j = (pos >> 3) - lane_byte0
-        w = jnp.zeros((8, LPI), jnp.int32)
-        for t in range(_TILES):
-            jt = jnp.clip(j - 8 * t, 0, 7)
-            cand = jnp.take_along_axis(tiles[t], jt, axis=0)
-            w = jnp.where((j >= 8 * t) & (j < 8 * (t + 1)), cand, w)
-        sh = pos & 7
-        pk = (w >> sh) & 0xFFF
+    lshr = jax.lax.shift_right_logical
+
+    def step(pos, outl, act):
+        # pos-aligned 32-bit window from two word gathers: w holds stream
+        # bits [pos, pos+32), so every peek/extra shift is relative to 0
+        # (the old byte-granular form needed 9 tile gathers + a per-step
+        # sub-byte shift; words need 3 tiles x 2 gathers)
+        jw = lshr(pos, 5) - lane_word0
+        # select-first (valid on sublane-uniform indices, see the LUT
+        # gather): pick each element's word tile by jw>>3, then ONE
+        # sublane gather at jw&7 - 2 gathers/step instead of 6.  A
+        # garbage entry (< lane start, possible only past the stream's
+        # EOB) reads arbitrary in-tile rows instead of the old
+        # deterministic 0 - equally garbage, equally masked downstream
+        # (records at pos < entry are dropped, outp >= total never
+        # deposits into live raster slots).
+        jt0 = lshr(jw, 3)
+        jt1 = lshr(jw + 1, 3)
+        sel0 = tiles[0]
+        sel1 = tiles[0]
+        for t in range(1, _TILES):
+            sel0 = jnp.where(jt0 == t, tiles[t], sel0)
+            sel1 = jnp.where(jt1 == t, tiles[t], sel1)
+        w_lo = jnp.take_along_axis(sel0, jw & 7, axis=0)
+        w_hi = jnp.take_along_axis(sel1, (jw + 1) & 7, axis=0)
+        sh = pos & 31
+        w = lshr(w_lo, sh) | ((w_hi << (31 - sh)) << 1)
+        pk = w & 0xFFF
 
         col = pk & 127
         row = (pk >> 7) & 7
@@ -134,12 +177,17 @@ def _walk_body(zl8_ref, w24_ref, lut_ref, ent_ref, out0_ref,
             cs = col[:, 128 * k:128 * (k + 1)]
             rs = row[:, 128 * k:128 * (k + 1)]
             ts = tid[:, 128 * k:128 * (k + 1)]
-            acc = jnp.zeros((8, 128), jnp.int32)
-            for t in range(4):
+            # column-gather all 4 tiles, select the element's tile by
+            # tid, THEN row-gather once.  Valid because every index
+            # (cs/rs/ts) is SUBLANE-UNIFORM (the 8 sublanes duplicate
+            # one walk lane), so the row gather reads a row whose
+            # column/tile choices match its own; saves 3 of 4 sublane
+            # gathers per slice
+            sel = jnp.take_along_axis(luts[0], cs, axis=1)
+            for t in range(1, 4):
                 m1 = jnp.take_along_axis(luts[t], cs, axis=1)
-                m2 = jnp.take_along_axis(m1, rs, axis=0)
-                acc = jnp.where(ts == t, m2, acc)
-            parts.append(acc)
+                sel = jnp.where(ts == t, m1, sel)
+            parts.append(jnp.take_along_axis(sel, rs, axis=0))
         e = jnp.concatenate(parts, axis=1)
 
         sym = e & 511
@@ -147,7 +195,7 @@ def _walk_body(zl8_ref, w24_ref, lut_ref, ent_ref, out0_ref,
         nextra = (e >> 13) & 7
         base = (e >> 16) & 0x1FF
         is_m = (sym > 256) & (sym <= 285)
-        extra = (w >> (sh + clen)) & ((1 << nextra) - 1)
+        extra = lshr(w, clen) & ((1 << nextra) - 1)
         run = base + extra
         stop = clen == 0
         # speculative second literal (pack_lut bits 16-24/25-28): a
@@ -162,121 +210,67 @@ def _walk_body(zl8_ref, w24_ref, lut_ref, ent_ref, out0_ref,
         outlen = jnp.where(sym < 256, 1, jnp.where(is_m, run, 0)) + \
             jnp.where(two, 1, 0)
 
-        if with_records:
-            # finalized record: (0x100 | sym) << 23 for data literals
-            # (the deposit value, flag bit included) packed over the
-            # clamped DATA-SPACE offset - output position minus the
-            # filter-byte slots before it - so the deposit directly
-            # produces the (h, w*c) delta raster and the expansion stage
-            # needs no strided filter-slot stripping.  Non-literal,
-            # filter-byte and inactive slots keep the bare (monotone)
-            # offset.  total < 2^23 guaranteed by the driver.
-            rec = act & ~stop
-            outp = out0 + outl
-            q = outp // row_stride
-            rowpos = outp - q * row_stride
-            lit = rec & (sym < 256) & (rowpos != 0)
-            didx = jnp.clip(q * bpl_pad + rowpos - 1, 0, hbplp)
-
-            # second-symbol record: when both are data literals they are
-            # output-adjacent, so s2 rides the SAME deposit unit's high
-            # half (metaB); when the FIRST symbol is a filter byte, s2
-            # becomes the primary record at its own slot instead (the
-            # hi-half trick would need slot didx-1, which clips at row 0)
-            rec2 = rec & two
-            rowpos2 = rowpos + 1
-            rowpos2 = jnp.where(rowpos2 == row_stride, 0, rowpos2)
-            lit2 = rec2 & (rowpos2 != 0)
-            lit2_only = lit2 & ~lit
-            didx2 = jnp.clip(q * bpl_pad + rowpos2 - 1, 0, hbplp)
-            prim = lit | lit2_only
-            v1 = jnp.where(lit, sym, s2)
-            off = jnp.where(lit2_only, didx2, didx)
-            meta = off | jnp.where(prim, (v1 | 0x100) << 23, 0)
-            metb = jnp.where(lit & lit2, s2 | 0x100, 0)
-
-            # reference constraint checks (fpng.cpp:2257-2584 semantics),
-            # accumulated as vectors and reduced once at kernel end
-            live = rec & (outp < total)
-            x = rowpos - 1
-            f = live & (sym > 285)
-            at_filter = live & (rowpos == 0)
-            fexp = jnp.where(outp >= row_stride, 2, 0)
-            f |= at_filter & ((sym >= 256) | (sym != fexp))
-            mt = live & is_m
-            xc = x - (x // cch) * cch
-            rc = run - (run // cch) * cch
-            mok = (rowpos >= 1) & (xc == 0) & (rc == 0) & (x + run <= bpl)
-            f |= mt & ~mok
-            misal = live & (rowpos >= 1) & (xc != 0)
-            f |= misal & (sym >= 256)
-            f |= live & (sym == 256)
-            at_total = rec & (outp == total)
-            at_eob = at_total & (sym == 256)
-            fail = fail | f
-            eobm = jnp.minimum(eobm, jnp.where(at_eob, pos + clen, _INF))
-            badm = jnp.minimum(
-                badm, jnp.where(at_total & (sym != 256), pos, _INF))
-
-            # checks for the second literal (never a match/EOB): filter
-            # placement, and a literal landing exactly at the stream end
-            outp2 = outp + 1
-            live2 = rec2 & (outp2 < total)
-            at_filter2 = live2 & (rowpos2 == 0)
-            fexp2 = jnp.where(outp2 >= row_stride, 2, 0)
-            fail = fail | (at_filter2 & (s2 != fexp2))
-            at_total2 = rec2 & (outp2 == total)
-            badm = jnp.minimum(
-                badm, jnp.where(at_total2, pos + clen, _INF))
-        else:
-            meta = metb = jnp.zeros_like(pos)
+        # RAW record row (finalization - slot math, constraint checks -
+        # happens once in the finalize kernel, not once per walk pass):
+        #   posr: step-start bit position (doubles as the fixpoint's
+        #         visited-position set; fill rows hold 0)
+        #   raw0: sym9 | rec<<9 | outlen9<<10 | clen4<<19 | is_m<<23
+        #   raw1: (0x100|s2) when the packed second literal was consumed
+        rec = act & ~stop
+        r0 = (sym | jnp.where(rec, 1 << 9, 0) | (outlen << 10) |
+              (clen << 19) | jnp.where(is_m, 1 << 23, 0))
+        r1 = jnp.where(rec & two, s2 | 0x100, 0)
         adv = act & ~stop
-        pos = jnp.where(adv, pos + tok, pos)
+        new_pos = jnp.where(adv, pos + tok, pos)
         outl = outl + jnp.where(adv, outlen, 0)
-        act = adv & (pos < bound)
-        return pos, outl, act, meta, metb, fail, eobm, badm
+        act = adv & (new_pos < bound)
+        return new_pos, outl, act, pos, r0, r1
 
     act0 = (ent < bound) & (lane_bit0 < zl8)
 
     # Mosaic only legalizes while loops with SCALAR carries: vector state
-    # lives in scratch refs, the loop carries (iteration, any-active);
-    # record passes carry three extra check-accumulator tiles
+    # lives in scratch refs, the loop carries (iteration, any-active)
     pos_s[...] = ent
     outl_s[...] = jnp.zeros((8, LPI), jnp.int32)
     act_s[...] = act0.astype(jnp.int32)
-    if with_records:
-        fail_s[...] = jnp.zeros((8, LPI), jnp.int32)
-        eob_s[...] = jnp.full((8, LPI), _INF, jnp.int32)
-        bad_s[...] = jnp.full((8, LPI), _INF, jnp.int32)
+    nst_s[...] = jnp.zeros((8, LPI), jnp.int32)
+
+    def wr(ref, old_ref, it, val):
+        if old_ref is not None:
+            old = old_ref[0, 0, pl.ds(it * 8, 8), :]
+            val = jnp.where(wm, val, old)
+        ref[0, 0, pl.ds(it * 8, 8), :] = val
+
+    o_pos, o_r0, o_r1, o_nst = old_refs if old_refs is not None \
+        else (None, None, None, None)
 
     def body(st):
         it, _any = st
         pos = pos_s[...]
         outl = outl_s[...]
         act = act_s[...] != 0
-        if with_records:
-            fail = fail_s[...] != 0
-            eobm = eob_s[...]
-            badm = bad_s[...]
-        else:
-            fail = jnp.zeros((8, LPI), bool)
-            eobm = badm = jnp.zeros((8, LPI), jnp.int32)
-        g_meta = jnp.zeros((8, LPI), jnp.int32)
-        g_metb = jnp.zeros((8, LPI), jnp.int32)
+        cnt = nst_s[...]
+        g_pos = jnp.zeros((8, LPI), jnp.int32)
+        g_r0 = jnp.zeros((8, LPI), jnp.int32)
+        g_r1 = jnp.zeros((8, LPI), jnp.int32)
         for u in range(8):
-            pos, outl, act, meta, metb, fail, eobm, badm = \
-                step(pos, outl, act, fail, eobm, badm)
-            g_meta = jnp.where(subl == u, meta, g_meta)
-            g_metb = jnp.where(subl == u, metb, g_metb)
-        if with_records:
-            meta_ref[0, 0, pl.ds(it * 8, 8), :] = g_meta[:, :]
-            metb_ref[0, 0, pl.ds(it * 8, 8), :] = g_metb[:, :]
-            fail_s[...] = fail.astype(jnp.int32)
-            eob_s[...] = eobm
-            bad_s[...] = badm
+            # a lane's row u is genuine iff the lane was still active
+            # entering the step; cnt bounds the lane's live record rows
+            # (no trailing fill pass - the finalize kernel masks rows
+            # >= nst, so rows past the last written tile may hold
+            # garbage or, after an RMW re-walk, a previous pass's rows)
+            cnt = cnt + act.astype(jnp.int32)
+            pos, outl, act, spos, r0, r1 = step(pos, outl, act)
+            g_pos = jnp.where(subl == u, spos, g_pos)
+            g_r0 = jnp.where(subl == u, r0, g_r0)
+            g_r1 = jnp.where(subl == u, r1, g_r1)
+        wr(posr_ref, o_pos, it, g_pos)
+        wr(raw0_ref, o_r0, it, g_r0)
+        wr(raw1_ref, o_r1, it, g_r1)
         pos_s[...] = pos
         outl_s[...] = outl
         act_s[...] = act.astype(jnp.int32)
+        nst_s[...] = cnt
         return it + 1, jnp.any(act).astype(jnp.int32)
 
     def cond(st):
@@ -284,133 +278,145 @@ def _walk_body(zl8_ref, w24_ref, lut_ref, ent_ref, out0_ref,
 
     it, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.int32(1)))
 
-    outl_f = outl_s[...]
-
-    if with_records:
-        # fill remaining record rows with the final clamped data-space
-        # offsets so the deposit stream stays monotone past lane exits
-        d_f = jnp.minimum(out0 + outl_f, total)
-        q_f = d_f // row_stride
-        m_fill = jnp.clip(q_f * bpl_pad + (d_f - q_f * row_stride) - 1,
-                          0, hbplp)
-
-        zero8 = jnp.zeros((8, LPI), jnp.int32)
-
-        def fill_body(it2):
-            meta_ref[0, 0, pl.ds(it2 * 8, 8), :] = m_fill
-            metb_ref[0, 0, pl.ds(it2 * 8, 8), :] = zero8
+    if o_pos is not None:
+        # RMW: the aliased OUTPUT block writes back whole, but rows the
+        # walk never reached hold garbage in the output VMEM buffer -
+        # copy the streamed-in old rows forward so non-owned lanes keep
+        # their records (only active groups pay this; owned lanes' old
+        # high rows are masked downstream by their new nst)
+        def copy_body(it2):
+            posr_ref[0, 0, pl.ds(it2 * 8, 8), :] = \
+                o_pos[0, 0, pl.ds(it2 * 8, 8), :]
+            raw0_ref[0, 0, pl.ds(it2 * 8, 8), :] = \
+                o_r0[0, 0, pl.ds(it2 * 8, 8), :]
+            raw1_ref[0, 0, pl.ds(it2 * 8, 8), :] = \
+                o_r1[0, 0, pl.ds(it2 * 8, 8), :]
             return it2 + 1
 
-        jax.lax.while_loop(lambda it2: it2 < ST8 // 8, fill_body, it)
-        steps_ref[pl.program_id(0), g] = it * 8
-        chk_ref[pl.program_id(0), g, 0] = jnp.max(fail_s[...])
-        chk_ref[pl.program_id(0), g, 1] = jnp.min(eob_s[...])
-        chk_ref[pl.program_id(0), g, 2] = jnp.min(bad_s[...])
+        jax.lax.while_loop(lambda i: i < ST8 // 8, copy_body, it)
 
     exit_ref[0, 0, 0, :] = pos_s[0, :]
-    outb_ref[0, 0, 0, :] = outl_f[0, :]
+    outb_ref[0, 0, 0, :] = outl_s[0, :]
+    nst_v = nst_s[0, :]
+    if o_nst is not None:
+        nst_v = jnp.where(wm[0], nst_v, o_nst[0, 0, 0, :])
+    nst_ref[0, 0, 0, :] = nst_v
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("ng", "lpi", "with_records", "geom",
-                                    "interpret"))
-def walk_pass_tpu(w24t, lutp4, entries, zl8, out0=None, *, ng: int,
-                  lpi: int = LPI, with_records: bool = True, geom=None,
-                  interpret: bool = False):
+                   static_argnames=("ng", "lpi", "interpret"))
+def walk_pass_tpu(w24t, lutp4, entries, zl8, prev=None, remap=None, *,
+                  ng: int, lpi: int = LPI, interpret: bool = False):
     """One lockstep walk pass over every chunk lane.
 
-    w24t: (B, NG, 72, lpi) int32 per-lane 24-bit windows;
+    w24t: (B, NG, 24, lpi) int32 per-lane stream-word tiles;
     lutp4: (B, 4, 8, 128) int32 packed LUT tiles;
     entries: (B, NG, 1, lpi) int32; zl8: (B, 1) int32 stream bit length.
-    Record passes additionally take out0 (B, NG, 1, lpi) global output
-    byte offsets and geom=(row_stride, total, c, bpl_pad) and return
-    finalized records plus per-group check scalars (_make_walk_kernel).
-    Returns (exits, outb[, steps, meta, metb, chk]); records
-    (B, NG, ST8, lpi).
+    prev = (posr, raw0, raw1, nst) switches to the RMW re-walk form: the
+    record arrays are aliased in place and only columns of lanes whose
+    entry != _BIG are overwritten.  remap (B, NG) int32 reorders which
+    group each grid step processes (scalar-prefetched so block index
+    maps follow it): sparse passes put active groups first and repeat
+    the last one, so untouched groups cost no block traffic and
+    duplicate steps skip the body entirely.
+    Returns (exits, outb, posr, raw0, raw1, nst); records raw,
+    (B, NG, ST8, lpi) - see _walk_body for the row encoding; nst
+    (B, NG, 1, lpi) counts each lane's live record rows (rows >= nst
+    are unwritten garbage - there is no fill pass).
     """
     B = w24t.shape[0]
+    if remap is None:
+        remap = jnp.broadcast_to(
+            jnp.arange(ng, dtype=jnp.int32)[None, :], (B, ng))
+
+    def gmap(spec):
+        # index map following the prefetched remap for per-group blocks
+        return lambda b, g, rm: spec(b, rm[b, g])
+
+    rec_spec = pl.BlockSpec((1, 1, ST8, lpi),
+                            gmap(lambda b, g: (b, g, 0, 0)),
+                            memory_space=pltpu.VMEM)
+    lane_spec = pl.BlockSpec((1, 1, 1, lpi),
+                             gmap(lambda b, g: (b, g, 0, 0)),
+                             memory_space=pltpu.VMEM)
     out_specs = [
-        pl.BlockSpec((1, 1, 1, lpi), lambda b, g: (b, g, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, 1, lpi), lambda b, g: (b, g, 0, 0),
-                     memory_space=pltpu.VMEM),
+        lane_spec,
+        lane_spec,
+        rec_spec, rec_spec, rec_spec,
+        lane_spec,
     ]
     out_shape = [
         jax.ShapeDtypeStruct((B, ng, 1, lpi), jnp.int32),
         jax.ShapeDtypeStruct((B, ng, 1, lpi), jnp.int32),
+        jax.ShapeDtypeStruct((B, ng, ST8, lpi), jnp.int32),
+        jax.ShapeDtypeStruct((B, ng, ST8, lpi), jnp.int32),
+        jax.ShapeDtypeStruct((B, ng, ST8, lpi), jnp.int32),
+        jax.ShapeDtypeStruct((B, ng, 1, lpi), jnp.int32),
     ]
-    scratch = [pltpu.VMEM((8, lpi), jnp.int32) for _ in range(3)]
-    if with_records:
-        assert geom is not None and out0 is not None
-        out_specs += [
-            pl.BlockSpec((B, ng), lambda b, g: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, ST8, lpi), lambda b, g: (b, g, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, ST8, lpi), lambda b, g: (b, g, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, ng, 3), lambda b, g: (0, 0, 0),
-                         memory_space=pltpu.SMEM),
-        ]
-        out_shape += [
-            jax.ShapeDtypeStruct((B, ng), jnp.int32),
-            jax.ShapeDtypeStruct((B, ng, ST8, lpi), jnp.int32),
-            jax.ShapeDtypeStruct((B, ng, ST8, lpi), jnp.int32),
-            jax.ShapeDtypeStruct((B, ng, 3), jnp.int32),
-        ]
-        scratch += [pltpu.VMEM((8, lpi), jnp.int32) for _ in range(3)]
+    scratch = [pltpu.VMEM((8, lpi), jnp.int32) for _ in range(4)]
     in_specs = [
-        pl.BlockSpec((B, 1), lambda b, g: (0, 0),
+        pl.BlockSpec((B, 1), lambda b, g, rm: (0, 0),
                      memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, 1, _RT, lpi), lambda b, g: (b, g, 0, 0),
+        pl.BlockSpec((1, 1, _RT, lpi),
+                     gmap(lambda b, g: (b, g, 0, 0)),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 4, 8, 128), lambda b, g: (b, 0, 0, 0),
+        pl.BlockSpec((1, 4, 8, 128), lambda b, g, rm: (b, 0, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, 1, lpi), lambda b, g: (b, g, 0, 0),
-                     memory_space=pltpu.VMEM),
+        lane_spec,
     ]
     args = [zl8.astype(jnp.int32), w24t, lutp4, entries]
-    if with_records:
-        in_specs.append(
-            pl.BlockSpec((1, 1, 1, lpi), lambda b, g: (b, g, 0, 0),
-                         memory_space=pltpu.VMEM))
-        args.append(out0)
-    kw = dict(
+    aliases = {}
+    if prev is not None:
+        in_specs += [rec_spec, rec_spec, rec_spec, lane_spec]
+        args += list(prev)
+        # +1: the scalar-prefetch operand shifts pallas input indices;
+        # outputs 2-5 are (posr, raw0, raw1, nst)
+        aliases = {5: 2, 6: 3, 7: 4, 8: 5}
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(B, ng),
         in_specs=in_specs,
         out_specs=tuple(out_specs),
-        out_shape=tuple(out_shape),
         scratch_shapes=scratch,
-        interpret=interpret,
     )
     return pl.pallas_call(
-        _make_walk_kernel(lpi, with_records, geom), **kw)(*args)
+        _make_walk_kernel(lpi, prev is not None, guard=not interpret),
+        grid_spec=grid_spec,
+        out_shape=tuple(out_shape),
+        input_output_aliases=aliases,
+        interpret=interpret,
+    )(remap.astype(jnp.int32), *args)
 
 
 def _lane_tiles(stream, nc_pad: int):
-    """(B, Nb) uint8 -> (B, NC, 72) int32 per-lane 24-bit windows."""
+    """(B, Nb) uint8 -> (B, NC, _RT) int32 per-lane LE 32-bit words.
+
+    Row r < 16 holds the lane's stream word r; rows 16-17 are the next
+    lane's first two words (halo - a walk may peek up to ~20 bits past
+    its chunk); rows 18-23 pad to the 8-row tile granularity.
+    """
     B, nb = stream.shape
-    s32 = stream.astype(jnp.int32)
-    need = nc_pad * (S_TPU // 8) + 72
-    pad = need - nb
-    sp = jnp.pad(s32, ((0, 0), (0, max(pad, 2))))
-    w24 = sp[:, :need - 2] | (sp[:, 1:need - 1] << 8) | (sp[:, 2:need] << 16)
-    sb = S_TPU // 8  # 64 bytes per lane
-    base = w24[:, :nc_pad * sb].reshape(B, nc_pad, sb)
-    halo = w24[:, sb:nc_pad * sb + sb].reshape(B, nc_pad, sb)[:, :, :8]
-    return jnp.concatenate([base, halo], axis=2)           # (B, NC, 72)
+    nw = (nc_pad + 1) * _WPL
+    pad = 4 * nw - nb
+    sp = jnp.pad(stream, ((0, 0), (0, max(pad, 0)))).astype(jnp.int32)
+    q = sp[:, :4 * nw].reshape(B, nw, 4)
+    w32 = q[:, :, 0] | (q[:, :, 1] << 8) | (q[:, :, 2] << 16) | \
+        (q[:, :, 3] << 24)
+    base = w32[:, :nc_pad * _WPL].reshape(B, nc_pad, _WPL)
+    halo = w32[:, _WPL:(nc_pad + 1) * _WPL].reshape(
+        B, nc_pad, _WPL)[:, :, :2]
+    return jnp.concatenate(
+        [base, halo, jnp.zeros((B, nc_pad, _RT - _WPL - 2), jnp.int32)],
+        axis=2)                                            # (B, NC, _RT)
 
 
 def _prep_w24_tiles(stream, nc_pad: int, lpi: int, tiles=None):
-    """(B, Nb) uint8 -> (B, NG, 72, lpi) int32 per-lane window tiles."""
+    """(B, Nb) uint8 -> (B, NG, 24, lpi) int32 per-lane word tiles."""
     B = stream.shape[0]
     if tiles is None:
         tiles = _lane_tiles(stream, nc_pad)
     ng = nc_pad // lpi
     return jnp.swapaxes(tiles.reshape(B, ng, lpi, _RT), 2, 3), ng
-
-
-LPI_FIX = 4096  # lanes per instance for the record-free fixpoint passes
 
 
 def _bpl_pad(bpl: int) -> int:
@@ -422,17 +428,30 @@ def _bpl_pad(bpl: int) -> int:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("nc_pad", "h", "w", "c", "interpret"))
-def _decode_walk(stream, lutp, p0, zlib_len, *, nc_pad: int, h: int,
-                 w: int, c: int, interpret: bool = False):
-    """Stage 1: fixpoint + final recording pass.
+    jax.jit, static_argnames=("nc_pad", "ncg_live", "interpret"))
+def _decode_walk(stream, lutp, p0, zlib_len, *, nc_pad: int,
+                 ncg_live: int | None = None, interpret: bool = False):
+    """Stage 1: one raw-recording pass + membership fixpoint.
 
-    Returns (meta4, metb4, chk, steps, fix_passes) with records still in
-    (B, NG, ST8, LPI)
-    kernel layout so the host can trim step rows before the expansion
-    stage.  Records arrive FINALIZED (global clamped output offset +
-    packed deposit value) and pre-checked (chk = per-group
-    fail/eob_end/bad_end) - the finish stage only deposits and expands.
+    pass0 records every lane's walk from its byte-aligned guess.  The
+    fixpoint then uses the recorded step positions as each lane's
+    VISITED set: when a lane's corrected entry appears among its own
+    recorded positions, the walk from that entry is exactly the
+    recorded suffix (deterministic continuation), so its exit is
+    already correct and NO re-walk is needed - only genuinely diverged
+    lanes (periodic content defeating self-synchronization) re-walk,
+    updating their record columns in place (RMW).  This removes the
+    full re-walk-everything pass AND the separate finalized-record
+    pass the previous design needed; pre-convergence garbage rows are
+    masked downstream by `pos < entry` (positions are monotone, and a
+    lane whose path skipped over its entry fails membership and
+    re-walks, so the mask is exact).
+
+    Returns (posr, raw0, raw1, nst, e_fin, out0, steps, fix_passes) -
+    records RAW in (B, NG, ST8, LPI) kernel layout; the finalize
+    kernel (stage 2) turns them into deposit records + checks.  nst
+    bounds each lane's live rows (no fill pass - rows >= nst are
+    garbage and every consumer masks them).
     """
     B = stream.shape[0]
     NC = nc_pad
@@ -442,60 +461,288 @@ def _decode_walk(stream, lutp, p0, zlib_len, *, nc_pad: int, h: int,
     starts = (jnp.arange(NC, dtype=jnp.int32) * S_TPU)[None, :]
     dead = starts >= zl8
     e0 = jnp.broadcast_to(starts, (B, NC)).at[:, 0].set(p0)
-    BIG = jnp.int32(0x3FFFFFFF)  # >= every bound: masked lanes exit at once
 
-    # record-free fixpoint at the widest instance size dividing NC
-    lpi_f = LPI_FIX
-    while NC % lpi_f:
-        lpi_f //= 2
     tiles = _lane_tiles(stream, NC)
-    w24f, ngf = _prep_w24_tiles(stream, NC, lpi_f, tiles)
+    w24r, ngr = _prep_w24_tiles(stream, NC, LPI, tiles)
+
+    # pass0 live-group remap: all-dead trailing groups of the coarse
+    # walk bucket stream no blocks and run no iterations (their record
+    # blocks stay unwritten garbage; every consumer below masks by
+    # `dead`, and the finish stages never visit them)
+    remap0 = None
+    if ncg_live is not None and ncg_live < ngr:
+        r0 = np.concatenate([
+            np.arange(ncg_live, dtype=np.int32),
+            np.full(ngr - ncg_live, ncg_live - 1, np.int32)])
+        remap0 = jnp.broadcast_to(r0[None, :], (B, ngr))
+    res0 = walk_pass_tpu(w24r, lutp4, e0.reshape(B, ngr, 1, LPI), zl8,
+                         remap=remap0, ng=ngr, lpi=LPI,
+                         interpret=interpret)
+    x0, _outb0, posr, raw0, raw1, nst = res0
+    x0 = jnp.where(dead, 0, x0.reshape(B, NC))
+    rowi = jnp.arange(ST8, dtype=jnp.int32).reshape(1, 1, ST8, 1)
 
     def fix_cond(st):
-        k, _e, _x, _o, changed = st
-        return changed & (k <= NC)
+        return st[-1] & (st[0] <= NC)
 
-    # Incremental re-walks: periodic content (flat image bands) defeats
-    # self-synchronization, so entry stabilization can march one chunk
-    # per pass; only lanes whose entry changed are re-walked (the rest
-    # exit instantly in-kernel), making wavefront passes nearly free.
     def fix_body(st):
-        k, e, x, outb, _ch = st
+        k, e, x, posr, raw0, raw1, nst, _ch = st
         new_e = jnp.concatenate([p0[:, None], x[:, :-1]], axis=1)
-        chg = new_e != e
-        e_masked = jnp.where(chg, new_e, BIG)
-        res = walk_pass_tpu(w24f, lutp4,
-                            e_masked.reshape(B, ngf, 1, lpi_f), zl8,
-                            ng=ngf, lpi=lpi_f, with_records=False,
-                            interpret=interpret)
-        x = jnp.where(chg, res[0].reshape(B, NC), x)
+        chg = (new_e != e) & ~dead
+        # visited-position membership: recorded paths containing the
+        # corrected entry are already correct from there on.  Only the
+        # first _MEMB rows count - a longer garbage prefix would inflate
+        # the record-trim bound (and so the deposit volume) for the whole
+        # batch, so long-prefix lanes re-walk instead (sparse passes are
+        # cheap under the group remap)
+        nv = new_e.reshape(B, ngr, 1, LPI)
+        conv = jnp.any((posr[:, :, :_MEMB] == nv) &
+                       (rowi[:, :, :_MEMB] < nst), axis=2).reshape(B, NC)
+        need = chg & ~conv
+        e_masked = jnp.where(need, new_e, _BIG)
+        # group remap: active groups first, padding steps repeat the
+        # last active one (their blocks are then never re-streamed)
+        act_g = jnp.any(need.reshape(B, ngr, LPI), axis=2)
+        order = jnp.argsort(~act_g, axis=1, stable=True).astype(jnp.int32)
+        n_act = jnp.sum(act_g.astype(jnp.int32), axis=1, keepdims=True)
+        gi = jnp.minimum(jnp.arange(ngr, dtype=jnp.int32)[None, :],
+                         jnp.maximum(n_act - 1, 0))
+        remap = jnp.take_along_axis(order, gi, axis=1)
+        res = walk_pass_tpu(w24r, lutp4,
+                            e_masked.reshape(B, ngr, 1, LPI), zl8,
+                            (posr, raw0, raw1, nst), remap, ng=ngr,
+                            lpi=LPI, interpret=interpret)
+        xn, _o, posr, raw0, raw1, nst = res
+        x = jnp.where(need, xn.reshape(B, NC), x)
         x = jnp.where(dead, 0, x)
-        outb = jnp.where(chg, res[1].reshape(B, NC), outb)
-        outb = jnp.where(dead, 0, outb)
-        return k + 1, new_e, x, outb, jnp.any(chg)
+        return k + 1, new_e, x, posr, raw0, raw1, nst, jnp.any(chg)
 
-    res0 = walk_pass_tpu(w24f, lutp4, e0.reshape(B, ngf, 1, lpi_f), zl8,
-                         ng=ngf, lpi=lpi_f, with_records=False,
-                         interpret=interpret)
-    x0 = jnp.where(dead, 0, res0[0].reshape(B, NC))
-    o0_ = jnp.where(dead, 0, res0[1].reshape(B, NC))
-    fix_passes, entries, _x, outb, _ = jax.lax.while_loop(
+    fix_passes, e_fin, _x, posr, raw0, raw1, nst, _ = jax.lax.while_loop(
         fix_cond, fix_body,
-        (jnp.int32(1), e0, x0, o0_, jnp.bool_(True)))
+        (jnp.int32(1), e0, x0, posr, raw0, raw1, nst, jnp.bool_(True)))
 
-    # global per-lane output offsets from the FIXPOINT outbytes, so the
-    # recording pass can finalize records in-kernel
+    # per-lane output byte counts from the VALID record rows (rec flag
+    # set, row live, and position at/after the lane's final entry)
+    nv = e_fin.reshape(B, ngr, 1, LPI)
+    live = (~dead).reshape(B, ngr, 1, LPI)
+    validr = (((raw0 >> 9) & 1) * (posr >= nv) * live *
+              (rowi < nst)).astype(jnp.int32)
+    outb = jnp.sum(validr * ((raw0 >> 10) & 511), axis=2).reshape(B, NC)
+    outb = jnp.where(dead, 0, outb)
     out0 = jnp.cumsum(outb, axis=1) - outb
+    # record-trim bound = last valid row (garbage prefixes are bounded
+    # by _MEMB, so this tracks real token counts, not guess-walk lengths)
+    steps = jnp.max(validr * (rowi + 1), axis=(2, 3))
+    return posr, raw0, raw1, nst, e_fin, out0, steps, fix_passes
 
-    # final recording pass at narrow instances (record VMEM budget)
-    w24r, ngr = _prep_w24_tiles(stream, NC, LPI, tiles)
-    res = walk_pass_tpu(w24r, lutp4, entries.reshape(B, ngr, 1, LPI), zl8,
-                        out0.reshape(B, ngr, 1, LPI), ng=ngr, lpi=LPI,
-                        with_records=True,
-                        geom=(1 + w * c, h * (1 + w * c), c,
-                              _bpl_pad(w * c)),
-                        interpret=interpret)
-    return res[3], res[4], res[5], res[2], fix_passes
+
+def _make_finalize_kernel(k8: int, lpi: int, geom, gchunk: int):
+    """Raw records -> finalized deposit records + constraint checks.
+
+    Runs once over the k8 trimmed record rows per lane - pure VMEM
+    arithmetic, no window reads or LUT gathers (the expensive walk
+    machinery runs only in the walk passes).  Port of the reference's
+    per-record validation (fpng.cpp:2257-2584 semantics) and of the
+    deposit-record packing previously done inside the record walk:
+
+      meta = (0x100 | sym) << 23 | clamped padded data-slot offset
+      metb = (0x100 | s2) for a consumed packed second literal
+
+    Rows with position below the lane's final entry are the lane's
+    pre-convergence garbage prefix and are treated as no-ops (they
+    still emit the monotone fill offset the deposit needs).
+    """
+    row_stride, total, cch, bpl_pad = geom
+    bpl = row_stride - 1
+    hbplp = (total // row_stride) * bpl_pad
+
+    def body(gc, posr_ref, raw0_ref, raw1_ref, ent_ref, out0_ref,
+             nst_ref, meta_ref, metb_ref):
+        meta_tiles = []
+        metb_tiles = []
+        e_l = jnp.broadcast_to(ent_ref[0, gc, 0],
+                               (8, lpi)).astype(jnp.int32)
+        o0 = jnp.broadcast_to(out0_ref[0, gc, 0],
+                              (8, lpi)).astype(jnp.int32)
+        n_l = jnp.broadcast_to(nst_ref[0, gc, 0],
+                               (8, lpi)).astype(jnp.int32)
+        subl = jax.lax.broadcasted_iota(jnp.int32, (8, lpi), 0)
+
+        carry = o0
+        fail = jnp.zeros((8, lpi), bool)
+        eobm = jnp.full((8, lpi), _INF, jnp.int32)
+        badm = jnp.full((8, lpi), _INF, jnp.int32)
+        for t in range(k8 // 8):
+            p = posr_ref[0, gc, 8 * t:8 * (t + 1), :]
+            r0 = raw0_ref[0, gc, 8 * t:8 * (t + 1), :]
+            r1 = raw1_ref[0, gc, 8 * t:8 * (t + 1), :]
+            # live rows only: row index below the lane's recorded count
+            # (rows past it are unwritten garbage - there is no fill
+            # pass), at/after the converged entry (pre-convergence
+            # prefix), and flagged as a record by the walk
+            rec = (((r0 >> 9) & 1) == 1) & (p >= e_l) & \
+                (subl + 8 * t < n_l)
+            sym = r0 & 511
+            outlen = (r0 >> 10) & 511
+            clen = (r0 >> 19) & 15
+            is_m = ((r0 >> 23) & 1) == 1
+            s2 = r1 & 0xFF
+            two = rec & (r1 != 0)
+
+            # per-lane output positions: exclusive prefix of outlen over
+            # the 8 step rows (Kogge-Stone over sublanes) + row carry
+            ol = jnp.where(rec, outlen, 0)
+            s = ol
+            for shf in (1, 2, 4):
+                s = s + jnp.where(subl >= shf, pltpu.roll(s, shf, 0), 0)
+            outp = carry + s - ol
+            carry = carry + jnp.broadcast_to(s[7:8, :], (8, lpi))
+
+            q = outp // row_stride
+            rowpos = outp - q * row_stride
+            lit = rec & (sym < 256) & (rowpos != 0)
+            didx = jnp.clip(q * bpl_pad + rowpos - 1, 0, hbplp)
+            # second literal: rides the primary unit's high half unless
+            # the FIRST symbol sits on a filter byte, in which case s2
+            # becomes the primary record at its own slot
+            rowpos2 = rowpos + 1
+            rowpos2 = jnp.where(rowpos2 == row_stride, 0, rowpos2)
+            lit2 = two & (rowpos2 != 0)
+            lit2_only = lit2 & ~lit
+            didx2 = jnp.clip(q * bpl_pad + rowpos2 - 1, 0, hbplp)
+            prim = lit | lit2_only
+            v1 = jnp.where(lit, sym, s2)
+            off = jnp.where(lit2_only, didx2, didx)
+            meta_tiles.append(off | jnp.where(prim, (v1 | 0x100) << 23, 0))
+            metb_tiles.append(jnp.where(lit & lit2, s2 | 0x100, 0))
+
+            live = rec & (outp < total)
+            x = rowpos - 1
+            f = live & (sym > 285)
+            at_filter = live & (rowpos == 0)
+            fexp = jnp.where(outp >= row_stride, 2, 0)
+            f |= at_filter & ((sym >= 256) | (sym != fexp))
+            run = outlen  # for match records outlen IS the run length
+            xc = x - (x // cch) * cch
+            rc = run - (run // cch) * cch
+            mok = (rowpos >= 1) & (xc == 0) & (rc == 0) & (x + run <= bpl)
+            f |= (live & is_m) & ~mok
+            misal = live & (rowpos >= 1) & (xc != 0)
+            f |= misal & (sym >= 256)
+            f |= live & (sym == 256)
+            at_total = rec & (outp == total)
+            at_eob = at_total & (sym == 256)
+            fail = fail | f
+            eobm = jnp.minimum(eobm, jnp.where(at_eob, p + clen, _INF))
+            badm = jnp.minimum(
+                badm, jnp.where(at_total & (sym != 256), p, _INF))
+            outp2 = outp + 1
+            live2 = two & (outp2 < total)
+            at_filter2 = live2 & (rowpos2 == 0)
+            fexp2 = jnp.where(outp2 >= row_stride, 2, 0)
+            fail = fail | (at_filter2 & (s2 != fexp2))
+            at_total2 = two & (outp2 == total)
+            badm = jnp.minimum(
+                badm, jnp.where(at_total2, p + clen, _INF))
+        # store records TRANSPOSED - (lane, step) - so the deposit's
+        # flat lane-major unit stream needs no XLA transpose pass (the
+        # in-VMEM relayout here is far cheaper than the HBM round-trip)
+        meta_ref[0, 0, gc, 0] = jnp.swapaxes(
+            jnp.concatenate(meta_tiles, axis=0), 0, 1)
+        metb_ref[0, 0, gc, 0] = jnp.swapaxes(
+            jnp.concatenate(metb_tiles, axis=0), 0, 1)
+        return fail, eobm, badm
+
+    def kernel(posr_ref, raw0_ref, raw1_ref, ent_ref, out0_ref, nst_ref,
+               meta_ref, metb_ref, chk_ref):
+        # gchunk groups per grid step (amortizes per-step fixed cost);
+        # the three check reductions only feed per-IMAGE any/min logic
+        # downstream, so they combine freely across the chunk's groups
+        failc = jnp.int32(0)
+        eobc = jnp.full((8, lpi), _INF, jnp.int32)
+        badc = jnp.full((8, lpi), _INF, jnp.int32)
+        for gc in range(gchunk):
+            fail, eobm, badm = body(gc, posr_ref, raw0_ref, raw1_ref,
+                                    ent_ref, out0_ref, nst_ref,
+                                    meta_ref, metb_ref)
+            failc = jnp.maximum(failc, jnp.max(fail.astype(jnp.int32)))
+            eobc = jnp.minimum(eobc, eobm)
+            badc = jnp.minimum(badc, badm)
+
+        # (fail, eob_end, bad_end) ride lanes 0-2 of a VMEM (8, lpi) tile
+        # (an SMEM (B, ng, nls, 3) array pads past the 1MB SMEM budget)
+        l128 = jax.lax.broadcasted_iota(jnp.int32, (8, lpi), 1)
+        chkv = jnp.where(
+            l128 == 0, failc,
+            jnp.where(l128 == 1, jnp.min(eobc),
+                      jnp.where(l128 == 2, jnp.min(badc), 0)))
+        chk_ref[0, 0, :, :] = chkv
+
+    return kernel
+
+
+_LSF = 128  # finalize lane-slice width (keeps k8-row blocks in VMEM)
+
+
+def _finalize_records(posr, raw0, raw1, nst, e_fin, out0, *, k8: int,
+                      geom, ncg: int | None = None,
+                      interpret: bool = False):
+    """(B, NG, ST8, LPI) raw records -> (meta, metb, chk).
+
+    Lanes are fully independent here (the only cross-row op is the
+    per-lane Kogge-Stone over sublanes), so the grid slices the lane
+    dim into _LSF-wide blocks to keep k8 x lanes VMEM-resident.
+
+    Both trims are ZERO-COPY: the k8 row trim and the ncg live-group
+    trim are applied by the BLOCK index maps (blocks only ever visit
+    rows < k8 of groups < ncg), not by slicing the record arrays - an
+    eager slice of the (B, NG, ST8, LPI) arrays costs GBs of HBM copy.
+    """
+    B, ng_full, _, lpi = posr.shape
+    ng = ng_full if ncg is None else ncg
+    nls = lpi // _LSF
+    # groups per grid step: big enough to amortize per-step fixed cost,
+    # small enough that 5 streamed (gchunk, k8, 128) blocks fit the
+    # 16MB scoped-VMEM budget (gchunk*k8 = 1152 rows measured ~10MB;
+    # 1280 keeps margin - 1536 OOMed at ng=20/k8=96)
+    gchunk = max(1, 1280 // max(k8, 1))
+    while ng % gchunk:
+        gchunk -= 1
+    ngc = ng // gchunk
+    rec_spec = pl.BlockSpec((1, gchunk, k8, _LSF),
+                            lambda b, g, ls: (b, g, 0, ls),
+                            memory_space=pltpu.VMEM)
+    # transposed record output: (lane, step) within each lane-slice, laid
+    # out (B, ngc, gchunk, nls, _LSF, k8) so the flat (B, N) view is
+    # exactly the deposit's lane-major unit order (group, lane, step)
+    rec_t_spec = pl.BlockSpec((1, 1, gchunk, 1, _LSF, k8),
+                              lambda b, g, ls: (b, g, 0, ls, 0, 0),
+                              memory_space=pltpu.VMEM)
+    lane_spec = pl.BlockSpec((1, gchunk, 1, _LSF),
+                             lambda b, g, ls: (b, g, 0, ls),
+                             memory_space=pltpu.VMEM)
+    meta, metb, chk = pl.pallas_call(
+        _make_finalize_kernel(k8, _LSF, geom, gchunk),
+        grid=(B, ngc, nls),
+        in_specs=[rec_spec, rec_spec, rec_spec, lane_spec, lane_spec,
+                  lane_spec],
+        out_specs=(
+            rec_t_spec, rec_t_spec,
+            pl.BlockSpec((1, 1, 8, _LSF),
+                         lambda b, g, ls: (b, g * nls + ls, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, ngc, gchunk, nls, _LSF, k8),
+                                 jnp.int32),
+            jax.ShapeDtypeStruct((B, ngc, gchunk, nls, _LSF, k8),
+                                 jnp.int32),
+            jax.ShapeDtypeStruct((B, ngc * nls, 8, _LSF), jnp.int32),
+        ),
+        interpret=interpret,
+    )(posr, raw0, raw1, e_fin.reshape(B, ng_full, 1, lpi),
+      out0.reshape(B, ng_full, 1, lpi), nst)
+    return meta, metb, chk[:, :, 0, :3]
 
 
 def _make_expand_kernel(P: int, c: int, w: int, wrows: int):
@@ -605,14 +852,29 @@ def expand_tpu(dep, *, h: int, w: int, c: int, bpl_pad: int,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("h", "w", "c", "nc_pad", "k8", "interpret"))
-def _decode_finish(meta4, metb4, chk, zlib_len, *, h: int, w: int, c: int,
-                   nc_pad: int, k8: int, interpret: bool = False):
-    """Stage 2: deposit + reconstruction (checks already ran in-kernel)."""
-    B = meta4.shape[0]
-    NC = nc_pad
+    jax.jit,
+    static_argnames=("h", "w", "c", "nc_pad", "ncl", "k8", "interpret"))
+def _decode_finish(posr, raw0, raw1, nst, e_fin, out0, zlib_len, *,
+                   h: int, w: int, c: int, nc_pad: int, k8: int,
+                   ncl: int | None = None, interpret: bool = False):
+    """Stage 2: finalize raw records (checks + deposit packing), then
+    deposit + reconstruction.
+
+    ncl trims the finish to the batch's live lanes (trailing all-dead
+    groups of the walk's coarse nc_pad bucket); the trim happens in the
+    finalize grid's index maps, never as an array slice.
+    """
+    B = posr.shape[0]
+    NC = nc_pad if ncl is None else ncl
     row_stride = 1 + w * c
     total = h * row_stride
+
+    from .bitpack import is_tpu_backend as _is_tpu
+
+    meta4, metb4, chk = _finalize_records(
+        posr, raw0, raw1, nst, e_fin, out0, k8=k8,
+        geom=(row_stride, total, c, _bpl_pad(w * c)), ncg=NC // LPI,
+        interpret=interpret or not _is_tpu())
 
     fail_g = chk[:, :, 0]
     eob_end = jnp.min(chk[:, :, 1], axis=1)
@@ -622,14 +884,16 @@ def _decode_finish(meta4, metb4, chk, zlib_len, *, h: int, w: int, c: int,
     ok &= eob_end <= bad_end
     ok &= ((eob_end + 7) >> 3) == (zlib_len - 4)
 
-    # records arrive finalized: (0x100|sym) << 23 | clamped DATA-SPACE
-    # offset (filter-byte slots excluded, rows padded to bpl_pad) for
-    # data literals, bare offset otherwise (walks that stopped early
-    # leave bytes unproduced; the EOB/coverage checks reject those
-    # streams).  The deposit output is the contiguous padded delta
-    # raster - no strided filter-slot stripping anywhere.
-    meta = jnp.swapaxes(meta4[:, :, :k8, :], 2, 3).reshape(B, NC, k8)
-    metb = jnp.swapaxes(metb4[:, :, :k8, :], 2, 3).reshape(B, NC, k8)
+    # records arrive finalized AND transposed - the finalize kernel's
+    # (B, ngc, gchunk, nls, _LSF, k8) layout flattens directly to the
+    # deposit's lane-major unit order: (0x100|sym) << 23 | clamped
+    # DATA-SPACE offset (filter-byte slots excluded, rows padded to
+    # bpl_pad) for data literals, bare offset otherwise (walks that
+    # stopped early leave bytes unproduced; the EOB/coverage checks
+    # reject those streams).  The deposit output is the contiguous
+    # padded delta raster - no strided filter-slot stripping anywhere.
+    meta = meta4.reshape(B, NC, k8)
+    metb = metb4.reshape(B, NC, k8)
     n_rec = NC * k8
     bpl = w * c
     bpl_pad = _bpl_pad(bpl)
@@ -687,7 +951,8 @@ _K8_STALE = 8  # consecutive smaller-bound batches before the cache decays
 
 
 def decode_kernel_tpu(stream, lutp, p0, zlib_len, *, h: int, w: int, c: int,
-                      nc_pad: int, interpret: bool = False):
+                      nc_pad: int, zlib_len_max: int | None = None,
+                      interpret: bool = False):
     """TPU decode via the Pallas walk kernel; same contract as
     specdec.decode_kernel (without overflow - S=512 cannot overflow).
 
@@ -705,26 +970,43 @@ def decode_kernel_tpu(stream, lutp, p0, zlib_len, *, h: int, w: int, c: int,
     # the packed record offset field is 23 bits over the padded raster
     assert h * _bpl_pad(w * c) < (1 << 23), \
         "raster too large for the walk path (route via the XLA kernel)"
-    meta4, metb4, chk, steps, _fp = _decode_walk(
-        stream, lutp, p0, zlib_len, nc_pad=nc_pad, h=h, w=w, c=c,
+    # live-group trim: nc_pad is the WALK's compile bucket (coarse
+    # {1,1.5}x pow2 ladder), but trailing all-dead groups contribute
+    # nothing - pass0 skips them via its remap, and the finish stages
+    # (finalize/deposit volume scale with record slots) trim them in
+    # their index maps (zero-copy), at a finer 4-group granule (the
+    # finish recompiles per (ncl, k8) anyway; 4 groups bounds that at
+    # ~6 variants per walk bucket).  Callers pass zlib_len_max from
+    # their host-side metadata: np.asarray on the device zlib_len costs
+    # a dispatch round-trip per call on remote rigs.
+    zmax = zlib_len_max if zlib_len_max is not None \
+        else int(_np.asarray(zlib_len).max())
+    nc_live = max(int(-(-zmax * 8 // S_TPU)), 1)
+    ncl = min(-(-nc_live // (4 * LPI)) * 4 * LPI, nc_pad)
+    posr, raw0, raw1, nst, e_fin, out0, steps, _fp = _decode_walk(
+        stream, lutp, p0, zlib_len, nc_pad=nc_pad, ncg_live=ncl // LPI,
         interpret=interpret)
 
     def trim(smax):
-        # 32-step granularity (vs pow2): up to 1.6x fewer dead record
-        # slots through the finish, at a bounded recompile count
-        return min(-(-max(smax, 8) // 32) * 32 if smax > 8 else 8, ST8)
+        # 16-step granularity (vs pow2): measured lane depths cluster
+        # tightly (p50..max = 55..73 on the photo corpus), so a finer
+        # granule directly cuts dead record slots through the whole
+        # finish; recompile count stays bounded because content keeps
+        # the bound stable
+        return min(-(-max(smax, 8) // 16) * 16 if smax > 8 else 8, ST8)
 
     key = (h, w, c, nc_pad)
     ent = _K8_CACHE.get(key)
     if ent is None:
         k8 = trim(int(_np.asarray(steps).max()))
         _K8_CACHE[key] = [k8, 0]
-        return _decode_finish(meta4, metb4, chk, zlib_len, h=h, w=w,
-                              c=c, nc_pad=nc_pad, k8=k8,
-                              interpret=interpret)
+        return _decode_finish(posr, raw0, raw1, nst, e_fin, out0,
+                              zlib_len, h=h, w=w, c=c, nc_pad=nc_pad,
+                              k8=k8, ncl=ncl, interpret=interpret)
     k8 = ent[0]
-    out = _decode_finish(meta4, metb4, chk, zlib_len, h=h, w=w, c=c,
-                         nc_pad=nc_pad, k8=k8, interpret=interpret)
+    out = _decode_finish(posr, raw0, raw1, nst, e_fin, out0, zlib_len,
+                         h=h, w=w, c=c, nc_pad=nc_pad, k8=k8, ncl=ncl,
+                         interpret=interpret)
     smax = int(_np.asarray(steps).max())  # overlaps the finish dispatch
     if smax <= k8:
         # decay: after _K8_STALE consecutive batches that needed a
@@ -738,8 +1020,9 @@ def decode_kernel_tpu(stream, lutp, p0, zlib_len, *, h: int, w: int, c: int,
             ent[1] = 0
         return out
     _K8_CACHE[key] = [trim(smax), 0]
-    return _decode_finish(meta4, metb4, chk, zlib_len, h=h, w=w, c=c,
-                          nc_pad=nc_pad, k8=_K8_CACHE[key][0],
+    return _decode_finish(posr, raw0, raw1, nst, e_fin, out0, zlib_len,
+                          h=h, w=w, c=c, nc_pad=nc_pad,
+                          k8=_K8_CACHE[key][0], ncl=ncl,
                           interpret=interpret)
 
 

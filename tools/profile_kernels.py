@@ -111,15 +111,61 @@ def main():
     nc_pad = plan_tpu(int(zl.max()))
     sj, lj, pj, zj = map(jnp.asarray, (stream, luts, p0, zl))
     allf = functools.partial(decode_kernel_tpu, h=H, w=W, c=Cc,
-                             nc_pad=nc_pad)
+                             nc_pad=nc_pad, zlib_len_max=int(zl.max()))
     di, ok = allf(sj, lj, pj, zj)
     assert bool(np.asarray(ok).all())
     assert np.array_equal(np.asarray(di), imgs)
     t = chain(allf, sj, lj, pj, zj)
     print(f"dec all  : {t*1e3:7.1f}ms  {mpix/t:7.0f} MP/s")
-    walkf = functools.partial(_decode_walk, nc_pad=nc_pad, h=H, w=W, c=Cc)
+    walkf = functools.partial(_decode_walk, nc_pad=nc_pad)
     t = chain(walkf, sj, lj, pj, zj)
     print(f"dec walk : {t*1e3:7.1f}ms")
+    from fpng_tpu.ops.specdec_tpu import (_bpl_pad, _decode_finish,
+                                          _finalize_records, _K8_CACHE,
+                                          expand_tpu)
+    from fpng_tpu.ops.bitpack import scatter_packed16_tpu
+    k8 = next(iter(_K8_CACHE.values()))[0]
+    wout = walkf(sj, lj, pj, zj)
+    wargs = [jax.device_put(a) for a in wout[:6]]
+    finf = functools.partial(_decode_finish, h=H, w=W, c=Cc,
+                             nc_pad=nc_pad, k8=k8)
+    t = chain(finf, *wargs, zj)
+    print(f"dec fin  : {t*1e3:7.1f}ms  (k8={k8})")
+    # finish decomposition: finalize kernel / transpose+deposit / expand
+    posr, raw0, raw1, nst, e_fin, out0 = wargs
+    row_stride = 1 + W * Cc
+    geom = (row_stride, H * row_stride, Cc, _bpl_pad(W * Cc))
+    fzf = jax.jit(functools.partial(
+        _finalize_records, k8=k8, geom=geom))
+    t = chain(fzf, posr[:, :, :k8], raw0[:, :, :k8], raw1[:, :, :k8],
+              nst, e_fin, out0)
+    print(f"dec fz   : {t*1e3:7.1f}ms  (records out transposed)")
+    meta4, metb4, _chk = fzf(posr[:, :, :k8], raw0[:, :, :k8],
+                             raw1[:, :, :k8], nst, e_fin, out0)
+    meta4 = jax.device_put(meta4)
+    metb4 = jax.device_put(metb4)
+    bpl_pad = _bpl_pad(W * Cc)
+    H8 = -(-H // 8) * 8
+    dep_words = H8 * (bpl_pad // 2)
+
+    @jax.jit
+    def depf(meta4, metb4):
+        B0 = meta4.shape[0]
+        return scatter_packed16_tpu(meta4.reshape(B0, -1), dep_words,
+                                    metb=metb4.reshape(B0, -1))
+
+    t = chain(depf, meta4, metb4)
+    print(f"dec dep  : {t*1e3:7.1f}ms  (deposit only; no transpose)")
+    dep = jax.device_put(depf(meta4, metb4))
+    exf = jax.jit(functools.partial(expand_tpu, h=H, w=W, c=Cc,
+                                    bpl_pad=bpl_pad))
+
+    @jax.jit
+    def exrun(dep):
+        return exf(jax.lax.bitcast_convert_type(dep, jnp.int32))
+
+    t = chain(exrun, dep)
+    print(f"dec exp  : {t*1e3:7.1f}ms")
 
 
 if __name__ == "__main__":

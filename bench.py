@@ -212,9 +212,11 @@ def _bench_decode(imgs, pngs):
                       for a in (stream, luts, p0, zl))
     mpix = Bk * H * W / 1e6
 
+    zmax = int(zl.max())
+
     def run():
         return decode_kernel_tpu(sj, lj, pj, zj, h=H, w=W, c=Cc,
-                                 nc_pad=nc_pad)
+                                 nc_pad=nc_pad, zlib_len_max=zmax)
 
     di, ok = run()  # compile + warm
     assert bool(np.asarray(ok)[0])

@@ -22,6 +22,7 @@ Two deposit implementations:
 from __future__ import annotations
 
 import functools
+import os as _os
 
 import jax
 import jax.numpy as jnp
@@ -236,7 +237,7 @@ def _flat_idx():
 
 
 def _make_deposit_kernel(group: int, wl: int, zero_init: bool,
-                         packed16: bool = False):
+                         packed16: bool = False, sub: int = _SUB):
     """Deposit kernel over `group`-unit window walks with wl-word windows.
 
     Bigger groups amortize the per-walk fixed cost (scalar window scan,
@@ -276,7 +277,7 @@ def _make_deposit_kernel(group: int, wl: int, zero_init: bool,
         idxv = (jax.lax.broadcasted_iota(jnp.int32, (grows, 128), 0) * 128 +
                 jax.lax.broadcasted_iota(jnp.int32, (grows, 128), 1)) \
             .reshape(group)
-        for k in range((_U * _SUB) // group):
+        for k in range((_U * sub) // group):
             if packed16:
                 m = vals_ref[0, 0, grows * k:grows * (k + 1), :] \
                     .reshape(group)
@@ -360,11 +361,13 @@ def scatter_bits_tpu(vals: jnp.ndarray, nbits: jnp.ndarray,
 
 @functools.partial(jax.jit,
                    static_argnames=("num_words", "interpret", "group",
-                                    "wl"))
+                                    "wl", "sub"))
 def scatter_packed16_tpu(meta: jnp.ndarray, num_words: int,
                          metb: jnp.ndarray | None = None,
                          interpret: bool = False,
-                         group: int = 4096, wl: int = 2176) -> jnp.ndarray:
+                         group: int = 4096, wl: int = 2176,
+                         sub: int = int(_os.environ.get(
+                             "FPNG_TPU_DEP_SUB", str(_SUB)))) -> jnp.ndarray:
     """Deposit (B, N) packed records - (value9 << 23) | slot23 int32,
     16-bit units at bit offset slot*16, monotone slots - into
     (B, num_words) uint32 words.  Always zero-initialized (the record
@@ -376,7 +379,7 @@ def scatter_packed16_tpu(meta: jnp.ndarray, num_words: int,
     two-symbol walk steps still cost one deposit slot.
     """
     B, N = meta.shape
-    step = _U * _SUB
+    step = _U * sub
     T = -(-N // step)
     pad = T * step - N
     if pad:
@@ -388,7 +391,7 @@ def scatter_packed16_tpu(meta: jnp.ndarray, num_words: int,
                 [metb, jnp.zeros((B, pad), metb.dtype)], axis=1)
     wrows = wl // 128
     rows = -(-num_words // 128) + wrows + 1
-    sub8 = 8 * _SUB
+    sub8 = 8 * sub
     meta4 = meta.astype(jnp.int32).reshape(B, T, sub8, 128)
     spec = pl.BlockSpec((1, 1, sub8, 128), lambda b, t: (b, t, 0, 0),
                         memory_space=pltpu.VMEM)
@@ -400,7 +403,7 @@ def scatter_packed16_tpu(meta: jnp.ndarray, num_words: int,
         args.append(metb.astype(jnp.int32).reshape(B, T, sub8, 128))
         mode = "pair"
     out = pl.pallas_call(
-        _make_deposit_kernel(group, wl, True, packed16=mode),
+        _make_deposit_kernel(group, wl, True, packed16=mode, sub=sub),
         grid=(B, T),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, rows, 128), lambda b, t: (b, 0, 0),

@@ -69,14 +69,19 @@ _TILES = 3           # 8-row word-tile count covering _WPL + 2 halo words
 _RT = _TILES * 8     # stream tile rows (24; rows 18-23 are padding)
 
 
-def _make_walk_kernel(lpi: int, rmw: bool, guard: bool = True):
+def _make_walk_kernel(lpi: int, rmw: bool, guard: bool = True,
+                      rows: int = ST8):
     """Kernel factory: lpi lanes per instance.
 
     Every pass records RAW per-step rows (see _walk_body) - the record
     pass IS the fixpoint pass.  rmw passes alias the previous record
     arrays and only overwrite columns of lanes being re-walked (entry
     != BIG), so incremental fixpoint re-walks update just the diverged
-    lanes' records in place."""
+    lanes' records in place.  rows caps the record rows this pass may
+    touch (RMW passes stream only that many rows per block - the rest
+    of the aliased buffer is never visited and keeps its content); a
+    lane still active at the cap is TRUNCATED - callers must detect
+    (nst == rows, exit < bound) and fall back to a full-rows pass."""
 
     def kernel(rm_ref, zl8_ref, w24_ref, lut_ref, ent_ref, *rest):
         old_refs = None
@@ -103,7 +108,7 @@ def _make_walk_kernel(lpi: int, rmw: bool, guard: bool = True):
         def run():
             _walk_body(gm, zl8_ref, w24_ref, lut_ref, ent_ref, exit_ref,
                        outb_ref, posr_ref, raw0_ref, raw1_ref, nst_ref,
-                       scr, lpi, old_refs)
+                       scr, lpi, old_refs, rows // 8)
 
         if guard:
             dup = (g > 0) & (gm == rm_ref[b, jnp.maximum(g - 1, 0)])
@@ -124,7 +129,7 @@ _MEMB = 32  # fixpoint membership window (= one record-trim granule)
 
 def _walk_body(g, zl8_ref, w24_ref, lut_ref, ent_ref, exit_ref, outb_ref,
                posr_ref, raw0_ref, raw1_ref, nst_ref, scr, LPI,
-               old_refs):
+               old_refs, rows8):
     pos_s, outl_s, act_s, nst_s = scr
     zl8 = zl8_ref[pl.program_id(0), 0]
 
@@ -274,7 +279,7 @@ def _walk_body(g, zl8_ref, w24_ref, lut_ref, ent_ref, exit_ref, outb_ref,
         return it + 1, jnp.any(act).astype(jnp.int32)
 
     def cond(st):
-        return (st[0] < ST8 // 8) & (st[1] != 0)
+        return (st[0] < rows8) & (st[1] != 0)
 
     it, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.int32(1)))
 
@@ -293,7 +298,7 @@ def _walk_body(g, zl8_ref, w24_ref, lut_ref, ent_ref, exit_ref, outb_ref,
                 o_r1[0, 0, pl.ds(it2 * 8, 8), :]
             return it2 + 1
 
-        jax.lax.while_loop(lambda i: i < ST8 // 8, copy_body, it)
+        jax.lax.while_loop(lambda i: i < rows8, copy_body, it)
 
     exit_ref[0, 0, 0, :] = pos_s[0, :]
     outb_ref[0, 0, 0, :] = outl_s[0, :]
@@ -304,9 +309,10 @@ def _walk_body(g, zl8_ref, w24_ref, lut_ref, ent_ref, exit_ref, outb_ref,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("ng", "lpi", "interpret"))
+                   static_argnames=("ng", "lpi", "rows", "interpret"))
 def walk_pass_tpu(w24t, lutp4, entries, zl8, prev=None, remap=None, *,
-                  ng: int, lpi: int = LPI, interpret: bool = False):
+                  ng: int, lpi: int = LPI, rows: int = ST8,
+                  interpret: bool = False):
     """One lockstep walk pass over every chunk lane.
 
     w24t: (B, NG, 24, lpi) int32 per-lane stream-word tiles;
@@ -325,6 +331,8 @@ def walk_pass_tpu(w24t, lutp4, entries, zl8, prev=None, remap=None, *,
     are unwritten garbage - there is no fill pass).
     """
     B = w24t.shape[0]
+    if interpret:
+        rows = ST8  # the cap's unwritten-rows invariant is TPU-only
     if remap is None:
         remap = jnp.broadcast_to(
             jnp.arange(ng, dtype=jnp.int32)[None, :], (B, ng))
@@ -333,7 +341,10 @@ def walk_pass_tpu(w24t, lutp4, entries, zl8, prev=None, remap=None, *,
         # index map following the prefetched remap for per-group blocks
         return lambda b, g, rm: spec(b, rm[b, g])
 
-    rec_spec = pl.BlockSpec((1, 1, ST8, lpi),
+    # record blocks stream only `rows` rows; the (B, ng, ST8, lpi)
+    # buffers' higher rows are never visited (and, under aliasing, keep
+    # the previous pass's content)
+    rec_spec = pl.BlockSpec((1, 1, rows, lpi),
                             gmap(lambda b, g: (b, g, 0, 0)),
                             memory_space=pltpu.VMEM)
     lane_spec = pl.BlockSpec((1, 1, 1, lpi),
@@ -380,7 +391,8 @@ def walk_pass_tpu(w24t, lutp4, entries, zl8, prev=None, remap=None, *,
         scratch_shapes=scratch,
     )
     return pl.pallas_call(
-        _make_walk_kernel(lpi, prev is not None, guard=not interpret),
+        _make_walk_kernel(lpi, prev is not None, guard=not interpret,
+                          rows=rows),
         grid_spec=grid_spec,
         out_shape=tuple(out_shape),
         input_output_aliases=aliases,
@@ -427,10 +439,16 @@ def _bpl_pad(bpl: int) -> int:
     return bpl if bpl < 256 else -(-bpl // 256) * 256
 
 
+_RMW_ROWS = 128  # fixpoint re-walk record-row cap (measured depth <= 96;
+#                  truncation detected and re-run full-rows by the driver)
+
+
 @functools.partial(
-    jax.jit, static_argnames=("nc_pad", "ncg_live", "interpret"))
+    jax.jit,
+    static_argnames=("nc_pad", "ncg_live", "rmw_rows", "interpret"))
 def _decode_walk(stream, lutp, p0, zlib_len, *, nc_pad: int,
-                 ncg_live: int | None = None, interpret: bool = False):
+                 ncg_live: int | None = None, rmw_rows: int = _RMW_ROWS,
+                 interpret: bool = False):
     """Stage 1: one raw-recording pass + membership fixpoint.
 
     pass0 records every lane's walk from its byte-aligned guess.  The
@@ -511,7 +529,8 @@ def _decode_walk(stream, lutp, p0, zlib_len, *, nc_pad: int,
         res = walk_pass_tpu(w24r, lutp4,
                             e_masked.reshape(B, ngr, 1, LPI), zl8,
                             (posr, raw0, raw1, nst), remap, ng=ngr,
-                            lpi=LPI, interpret=interpret)
+                            lpi=LPI, rows=min(rmw_rows, ST8),
+                            interpret=interpret)
         xn, _o, posr, raw0, raw1, nst = res
         x = jnp.where(need, xn.reshape(B, NC), x)
         x = jnp.where(dead, 0, x)
@@ -533,7 +552,34 @@ def _decode_walk(stream, lutp, p0, zlib_len, *, nc_pad: int,
     # record-trim bound = last valid row (garbage prefixes are bounded
     # by _MEMB, so this tracks real token counts, not guess-walk lengths)
     steps = jnp.max(validr * (rowi + 1), axis=(2, 3))
+    if rmw_rows < ST8 and not interpret:
+        # RMW truncation sentinel: a re-walked lane still active at the
+        # row cap has incomplete records - steps > ST8 tells the driver
+        # to re-run with full rows.  (exit < bound iff the walk did not
+        # finish its chunk; nst == cap alone can be a legitimate stop.)
+        bound = jnp.minimum(starts + S_TPU, zl8)
+        nst_nc = nst.reshape(B, NC)
+        x_nc = _x.reshape(B, NC)
+        trunc = (nst_nc >= rmw_rows) & (x_nc < bound) & ~dead
+        steps = jnp.where(
+            jnp.any(trunc.reshape(B, ngr, LPI), axis=2), ST8 + 8, steps)
     return posr, raw0, raw1, nst, e_fin, out0, steps, fix_passes
+
+
+def _divmod_const(x, d: int):
+    """Exact floor divmod by a constant inside a kernel.
+
+    Mosaic lowers s32 division to a long instruction sequence; a f32
+    reciprocal multiply plus a +-1 correction is exact for |x| < 2^24
+    (f32 mantissa covers the estimate; the correction absorbs rounding
+    and the trunc-vs-floor difference for x < 0)."""
+    if d & (d - 1) == 0:
+        sh = d.bit_length() - 1
+        return x >> sh, x & (d - 1)
+    q = (x.astype(jnp.float32) * np.float32(1.0 / d)).astype(jnp.int32)
+    r = x - q * d
+    q = q + (r >= d).astype(jnp.int32) - (r < 0).astype(jnp.int32)
+    return q, x - q * d
 
 
 def _make_finalize_kernel(k8: int, lpi: int, geom, gchunk: int):
@@ -598,8 +644,7 @@ def _make_finalize_kernel(k8: int, lpi: int, geom, gchunk: int):
             outp = carry + s - ol
             carry = carry + jnp.broadcast_to(s[7:8, :], (8, lpi))
 
-            q = outp // row_stride
-            rowpos = outp - q * row_stride
+            q, rowpos = _divmod_const(outp, row_stride)
             lit = rec & (sym < 256) & (rowpos != 0)
             didx = jnp.clip(q * bpl_pad + rowpos - 1, 0, hbplp)
             # second literal: rides the primary unit's high half unless
@@ -623,8 +668,8 @@ def _make_finalize_kernel(k8: int, lpi: int, geom, gchunk: int):
             fexp = jnp.where(outp >= row_stride, 2, 0)
             f |= at_filter & ((sym >= 256) | (sym != fexp))
             run = outlen  # for match records outlen IS the run length
-            xc = x - (x // cch) * cch
-            rc = run - (run // cch) * cch
+            _, xc = _divmod_const(x, cch)
+            _, rc = _divmod_const(run, cch)
             mok = (rowpos >= 1) & (xc == 0) & (rc == 0) & (x + run <= bpl)
             f |= (live & is_m) & ~mok
             misal = live & (rowpos >= 1) & (xc != 0)
@@ -745,16 +790,18 @@ def _finalize_records(posr, raw0, raw1, nst, e_fin, out0, *, k8: int,
     return meta, metb, chk[:, :, 0, :3]
 
 
-def _make_expand_kernel(P: int, c: int, w: int, wrows: int):
+def _make_expand_kernel(P: int, c: int, w: int, wrows: int,
+                        tchunk: int = 1):
     """Fill + defilter over the deposited 16-bit-slot data raster.
 
-    Input block: (1, 8, P) int32 words = 8 image rows of bpl_pad slots
-    (slot = sym | lit<<8; two slots per word).  Per block: match
-    forward-fill along each row (log-distance scan at slot stride c,
-    split over the lo/hi word halves), then defilter (add the previous
-    row mod 256, carried across blocks in scratch), then byte-pack via
-    stride-2 lane gathers so the output's first ceil(bpl/4) words per
-    row are the finished bytes - the XLA tail is pure prefix slices.
+    Input block: (1, 8*tchunk, P) int32 words = 8*tchunk image rows of
+    bpl_pad slots (slot = sym | lit<<8; two slots per word).  tchunk
+    8-row tiles are processed per grid step (a tiny per-tile grid paid
+    ~3us/step of fixed dispatch cost - most of the kernel's runtime).
+    Per tile: match forward-fill along each row (log-distance scan at
+    slot stride c, split over the lo/hi word halves), then defilter
+    (add the previous row mod 256, carried across tiles/steps), then
+    the caller extracts the even bytes in one XLA pass.
     """
 
     def kernel(dep_ref, out_ref, carry_lo, carry_hi):
@@ -766,11 +813,6 @@ def _make_expand_kernel(P: int, c: int, w: int, wrows: int):
             carry_hi[...] = jnp.zeros_like(carry_hi)
 
         lane = jax.lax.broadcasted_iota(jnp.int32, (8, P), 1)
-        wv = dep_ref[0]
-        v_lo = wv & 0xFF
-        h_lo = (wv >> 8) & 1
-        v_hi = (wv >> 16) & 0xFF
-        h_hi = (wv >> 24) & 1
 
         def pull(v, hs, d):
             pv = pltpu.roll(v, d, 1)
@@ -781,43 +823,49 @@ def _make_expand_kernel(P: int, c: int, w: int, wrows: int):
             return (jnp.where(hs == 1, v, jnp.where(ph == 1, pv, v)),
                     hs | ph)
 
-        d = c  # slot distance
-        if c == 3:
-            # odd first step crosses halves: even slot 2j pulls odd slot
-            # 2j-3 (hi, lane j-2); odd slot 2j+1 pulls even 2j-2 (lo,
-            # lane j-1)
-            pv_l, ph_l = pull(v_hi, h_hi, 2)
-            pv_h, ph_h = pull(v_lo, h_lo, 1)
-            v_lo, h_lo = fstep(v_lo, h_lo, pv_l, ph_l)
-            v_hi, h_hi = fstep(v_hi, h_hi, pv_h, ph_h)
-            d = 6
-        while d < 2 * w * c:  # cover the whole row chain
-            dl = d // 2  # even slot distance -> lane shift per half
-            pv_l, ph_l = pull(v_lo, h_lo, dl)
-            pv_h, ph_h = pull(v_hi, h_hi, dl)
-            v_lo, h_lo = fstep(v_lo, h_lo, pv_l, ph_l)
-            v_hi, h_hi = fstep(v_hi, h_hi, pv_h, ph_h)
-            d *= 2
-
-        # defilter: row r += defiltered row r-1 (mod 256 per byte)
         prev_lo = carry_lo[0:1, :]
         prev_hi = carry_hi[0:1, :]
-        rows_lo = []
-        rows_hi = []
-        for r in range(8):
-            prev_lo = (v_lo[r:r + 1, :] + prev_lo) & 0xFF
-            prev_hi = (v_hi[r:r + 1, :] + prev_hi) & 0xFF
-            rows_lo.append(prev_lo)
-            rows_hi.append(prev_hi)
+        for t2 in range(tchunk):
+            wv = dep_ref[0, 8 * t2:8 * (t2 + 1), :]
+            v_lo = wv & 0xFF
+            h_lo = (wv >> 8) & 1
+            v_hi = (wv >> 16) & 0xFF
+            h_hi = (wv >> 24) & 1
+
+            d = c  # slot distance
+            if c == 3:
+                # odd first step crosses halves: even slot 2j pulls odd
+                # slot 2j-3 (hi, lane j-2); odd slot 2j+1 pulls even
+                # 2j-2 (lo, lane j-1)
+                pv_l, ph_l = pull(v_hi, h_hi, 2)
+                pv_h, ph_h = pull(v_lo, h_lo, 1)
+                v_lo, h_lo = fstep(v_lo, h_lo, pv_l, ph_l)
+                v_hi, h_hi = fstep(v_hi, h_hi, pv_h, ph_h)
+                d = 6
+            while d < 2 * w * c:  # cover the whole row chain
+                dl = d // 2  # even slot distance -> lane shift per half
+                pv_l, ph_l = pull(v_lo, h_lo, dl)
+                pv_h, ph_h = pull(v_hi, h_hi, dl)
+                v_lo, h_lo = fstep(v_lo, h_lo, pv_l, ph_l)
+                v_hi, h_hi = fstep(v_hi, h_hi, pv_h, ph_h)
+                d *= 2
+
+            # defilter: row r += defiltered row r-1 (mod 256 per byte)
+            rows_lo = []
+            rows_hi = []
+            for r in range(8):
+                prev_lo = (v_lo[r:r + 1, :] + prev_lo) & 0xFF
+                prev_hi = (v_hi[r:r + 1, :] + prev_hi) & 0xFF
+                rows_lo.append(prev_lo)
+                rows_hi.append(prev_hi)
+            d_lo = jnp.concatenate(rows_lo, axis=0)
+            d_hi = jnp.concatenate(rows_hi, axis=0)
+
+            # keep the 16-bit-slot layout (byte compaction needs
+            # cross-vreg lane gathers Mosaic doesn't lower)
+            out_ref[0, 8 * t2:8 * (t2 + 1), :] = d_lo | (d_hi << 16)
         carry_lo[0:1, :] = prev_lo
         carry_hi[0:1, :] = prev_hi
-        d_lo = jnp.concatenate(rows_lo, axis=0)
-        d_hi = jnp.concatenate(rows_hi, axis=0)
-
-        # keep the 16-bit-slot layout (byte compaction needs cross-vreg
-        # lane gathers Mosaic doesn't lower); the caller extracts the
-        # even bytes in one XLA pass
-        out_ref[0] = d_lo | (d_hi << 16)
 
     return kernel
 
@@ -832,12 +880,19 @@ def expand_tpu(dep, *, h: int, w: int, c: int, bpl_pad: int,
     H8 = -(-h // 8) * 8
     wrows = P // 128
     dep3 = dep.reshape(B, H8, P)
+    # tiles per grid step: the per-tile grid paid ~3us/step of fixed
+    # dispatch cost (most of this kernel's runtime); 8 unrolled tiles
+    # per step cuts that 8x while keeping the unrolled Mosaic program
+    # and the streamed blocks (8*tchunk*P words) bounded
+    tchunk = max(1, min(H8 // 8, 8, 65536 // P))
+    while (H8 // 8) % tchunk:
+        tchunk -= 1
     out = pl.pallas_call(
-        _make_expand_kernel(P, c, w, wrows),
-        grid=(B, H8 // 8),
-        in_specs=[pl.BlockSpec((1, 8, P), lambda b, t: (b, t, 0),
+        _make_expand_kernel(P, c, w, wrows, tchunk),
+        grid=(B, H8 // (8 * tchunk)),
+        in_specs=[pl.BlockSpec((1, 8 * tchunk, P), lambda b, t: (b, t, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, 8, P), lambda b, t: (b, t, 0),
+        out_specs=pl.BlockSpec((1, 8 * tchunk, P), lambda b, t: (b, t, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, H8, P), jnp.int32),
         scratch_shapes=[
@@ -995,10 +1050,23 @@ def decode_kernel_tpu(stream, lutp, p0, zlib_len, *, h: int, w: int, c: int,
         # the bound stable
         return min(-(-max(smax, 8) // 16) * 16 if smax > 8 else 8, ST8)
 
+    def rewalk_full():
+        # an RMW re-walk hit the _RMW_ROWS cap (steps sentinel > ST8):
+        # some lane's records are incomplete - redo the walk with
+        # full-capacity RMW rows (rare: needs content deeper than the
+        # cap, i.e. > _RMW_ROWS tokens in one 512-bit chunk)
+        return _decode_walk(stream, lutp, p0, zlib_len, nc_pad=nc_pad,
+                            ncg_live=ncl // LPI, rmw_rows=ST8,
+                            interpret=interpret)
+
     key = (h, w, c, nc_pad)
     ent = _K8_CACHE.get(key)
     if ent is None:
-        k8 = trim(int(_np.asarray(steps).max()))
+        smax = int(_np.asarray(steps).max())
+        if smax > ST8:
+            posr, raw0, raw1, nst, e_fin, out0, steps, _fp = rewalk_full()
+            smax = int(_np.asarray(steps).max())
+        k8 = trim(smax)
         _K8_CACHE[key] = [k8, 0]
         return _decode_finish(posr, raw0, raw1, nst, e_fin, out0,
                               zlib_len, h=h, w=w, c=c, nc_pad=nc_pad,
@@ -1008,6 +1076,13 @@ def decode_kernel_tpu(stream, lutp, p0, zlib_len, *, h: int, w: int, c: int,
                          h=h, w=w, c=c, nc_pad=nc_pad, k8=k8, ncl=ncl,
                          interpret=interpret)
     smax = int(_np.asarray(steps).max())  # overlaps the finish dispatch
+    if smax > ST8:
+        posr, raw0, raw1, nst, e_fin, out0, steps, _fp = rewalk_full()
+        smax = int(_np.asarray(steps).max())
+        k8n = max(trim(smax), k8)
+        return _decode_finish(posr, raw0, raw1, nst, e_fin, out0,
+                              zlib_len, h=h, w=w, c=c, nc_pad=nc_pad,
+                              k8=k8n, ncl=ncl, interpret=interpret)
     if smax <= k8:
         # decay: after _K8_STALE consecutive batches that needed a
         # smaller bound, drop to the current batch's bound so one deep

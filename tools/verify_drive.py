@@ -143,6 +143,24 @@ def main():
     assert sts[0] != C.FPNG_DECODE_SUCCESS
     print("negative probes ok")
 
+    # deep-chunk probe: a checkerboard defeats matching while 2-pass
+    # tables give its two delta symbols 1-2 bit codes -> ~170 walk
+    # steps in one 512-bit chunk, past the fixpoint's _RMW_ROWS re-walk
+    # cap; on TPU this exercises the truncation sentinel + full-rows
+    # re-run path (specdec_tpu.decode_kernel_tpu)
+    y, x = np.mgrid[0:64, 0:64]
+    cb = (((x + y) % 2)[..., None] * np.full(3, 17)).astype(np.uint8)
+    cb = np.stack([cb] * 4)
+    cb_pngs = F.encode_batch(cb, C.FPNG_ENCODE_SLOWER)
+    csts, couts = F.decode_batch(cb_pngs, 3)
+    for i in range(len(cb_pngs)):
+        if csts[i] != C.FPNG_DECODE_SUCCESS or not np.array_equal(
+                couts[i], cb[i]):
+            print(f"FAIL deep-chunk[{i}]: status={csts[i]}")
+            failures += 1
+    print("deep-chunk probe ok" if not failures else
+          "deep-chunk probe FAILED")
+
     failures += corrupted_stream_sweep(tiles3)
     print("FAILURES:", failures)
     sys.exit(1 if failures else 0)

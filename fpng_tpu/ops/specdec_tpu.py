@@ -439,6 +439,8 @@ def _bpl_pad(bpl: int) -> int:
     return bpl if bpl < 256 else -(-bpl // 256) * 256
 
 
+_DEP8 = _os.environ.get("FPNG_TPU_DEP8", "1") != "0"  # split-deposit path
+
 _RMW_ROWS = 128  # fixpoint re-walk record-row cap (measured depth <= 96;
 #                  truncation detected and re-run full-rows by the driver)
 
@@ -870,6 +872,109 @@ def _make_expand_kernel(P: int, c: int, w: int, wrows: int,
     return kernel
 
 
+def _make_expand8_kernel(P8: int, PB: int, c: int, w: int, tchunk: int):
+    """Fill + defilter over the byte raster + literal bitmap.
+
+    Input blocks: (1, 8*tchunk, P8) int32 data words (4 byte slots
+    each) and (1, 8*tchunk, PB) int32 bitmap words (1 flag bit per
+    slot).  The four byte sub-lattices fill via the same log-distance
+    scan as the 16-bit-slot kernel; the flag for data lane l, byte k
+    is bit 4*(l&7)+k of bitmap lane l>>3 (a within-vreg lane gather).
+    Output is the finished dense byte raster - the XLA tail is a
+    bitcast + prefix slice, with no stride-2 slot compaction.
+    """
+
+    def kernel(dep_ref, bmp_ref, out_ref, carry):
+        t = pl.program_id(1)
+
+        @pl.when(t == 0)
+        def _():
+            carry[...] = jnp.zeros_like(carry)
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (8, P8), 1)
+        gidx = lane >> 3
+        shbase = (lane & 7) << 2
+
+        def pull(v, hs, d):
+            if d == 0:
+                return v, hs
+            pv = pltpu.roll(v, d, 1)
+            ph = jnp.where(lane >= d, pltpu.roll(hs, d, 1), 0)
+            return pv, ph
+
+        prev = [carry[k:k + 1, :] for k in range(4)]
+        for t2 in range(tchunk):
+            wv = dep_ref[0, 8 * t2:8 * (t2 + 1), :]
+            bw = bmp_ref[0, 8 * t2:8 * (t2 + 1), :]
+            V = [(wv >> (8 * k)) & 0xFF for k in range(4)]
+            bwx = jnp.take_along_axis(bw, gidx, axis=1)
+            F = [(bwx >> (shbase + k)) & 1 for k in range(4)]
+
+            d = c
+            while d < 2 * w * c:  # cover the whole row chain
+                nV = []
+                nF = []
+                for k in range(4):
+                    ks = (k - d) % 4
+                    sh = (d + ks - k) >> 2
+                    pv, pf = pull(V[ks], F[ks], sh)
+                    nV.append(jnp.where(F[k] == 1, V[k],
+                                        jnp.where(pf == 1, pv, V[k])))
+                    nF.append(F[k] | pf)
+                V, F = nV, nF
+                d *= 2
+
+            # defilter: row r += defiltered row r-1 (mod 256 per byte)
+            outw = None
+            rows = [[], [], [], []]
+            for r in range(8):
+                for k in range(4):
+                    prev[k] = (V[k][r:r + 1, :] + prev[k]) & 0xFF
+                    rows[k].append(prev[k])
+            for k in range(4):
+                dk = jnp.concatenate(rows[k], axis=0)
+                outw = dk if outw is None else outw | (dk << (8 * k))
+            out_ref[0, 8 * t2:8 * (t2 + 1), :] = outw
+        for k in range(4):
+            carry[k:k + 1, :] = prev[k]
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("h", "w", "c", "bpl_pad", "interpret"))
+def expand8_tpu(dep8, bmp, *, h: int, w: int, c: int, bpl_pad: int,
+                interpret: bool = False):
+    """(B, H8*bpl_pad/4) byte-raster words + (B, H8*bpl_pad/32) bitmap
+    words -> (B, h, w, c) uint8."""
+    B = dep8.shape[0]
+    P8 = bpl_pad // 4
+    PB = bpl_pad // 32
+    H8 = -(-h // 8) * 8
+    tchunk = max(1, min(H8 // 8, 8, 65536 // P8))
+    while (H8 // 8) % tchunk:
+        tchunk -= 1
+    out = pl.pallas_call(
+        _make_expand8_kernel(P8, PB, c, w, tchunk),
+        grid=(B, H8 // (8 * tchunk)),
+        in_specs=[
+            pl.BlockSpec((1, 8 * tchunk, P8), lambda b, t: (b, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8 * tchunk, PB), lambda b, t: (b, t, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 8 * tchunk, P8), lambda b, t: (b, t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, H8, P8), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((8, P8), jnp.int32)],
+        interpret=interpret,
+    )(dep8.reshape(B, H8, P8).astype(jnp.int32),
+      bmp.reshape(B, H8, PB).astype(jnp.int32))
+    bts = jax.lax.bitcast_convert_type(out, jnp.uint8) \
+        .reshape(B, H8, 4 * P8)[:, :h, :w * c]
+    return bts.reshape(B, h, w, c)
+
+
 @functools.partial(
     jax.jit, static_argnames=("h", "w", "c", "bpl_pad", "interpret"))
 def expand_tpu(dep, *, h: int, w: int, c: int, bpl_pad: int,
@@ -959,6 +1064,19 @@ def _decode_finish(posr, raw0, raw1, nst, e_fin, out0, zlib_len, *,
     H8 = -(-h // 8) * 8
     dep_words = H8 * (bpl_pad // 2) if use_kernel \
         else -(-(16 * (hbplp + 2)) // 32) + 1
+    if use_kernel and _DEP8:
+        # split deposit: byte raster + literal bitmap (halved window
+        # rows let a 2x group run one window walk each; the expand
+        # consumes both and emits the dense byte raster directly)
+        from .bitpack import scatter_bytes8_tpu
+
+        dep8, bmp = scatter_bytes8_tpu(
+            meta.reshape(B, n_rec), metb.reshape(B, n_rec),
+            H8 * (bpl_pad // 4), H8 * (bpl_pad // 32),
+            interpret=interpret)
+        imgs = expand8_tpu(dep8, bmp, h=h, w=w, c=c, bpl_pad=bpl_pad,
+                           interpret=interpret)
+        return imgs, ok
     if is_tpu_backend() or interpret:
         # packed records flow straight into the deposit kernel (values
         # and slot unpacked in VMEM - no staged rs/nbits/offset arrays);

@@ -439,7 +439,7 @@ def _bpl_pad(bpl: int) -> int:
     return bpl if bpl < 256 else -(-bpl // 256) * 256
 
 
-_DEP8 = _os.environ.get("FPNG_TPU_DEP8", "1") != "0"  # split-deposit path
+_DEP8 = _os.environ.get("FPNG_TPU_DEP8", "0") == "1"  # split-deposit path (TPU A/B pending)
 
 _RMW_ROWS = 128  # fixpoint re-walk record-row cap (measured depth <= 96;
 #                  truncation detected and re-run full-rows by the driver)
@@ -516,8 +516,16 @@ def _decode_walk(stream, lutp, p0, zlib_len, *, nc_pad: int,
         # batch, so long-prefix lanes re-walk instead (sparse passes are
         # cheap under the group remap)
         nv = new_e.reshape(B, ngr, 1, LPI)
-        conv = jnp.any((posr[:, :, :_MEMB] == nv) &
-                       (rowi[:, :, :_MEMB] < nst), axis=2).reshape(B, NC)
+        pm = posr[:, :, :_MEMB]
+        # a packed-pair row also visits its SECOND token's position
+        # (p + clen) - prefix-free codes make the speculative second
+        # literal identical to the true token there, so continuation
+        # from that position is also exact (the finalize demotes such
+        # rows to the second literal alone)
+        p2 = pm + ((raw0[:, :, :_MEMB] >> 19) & 15)
+        hit = (pm == nv) | ((raw1[:, :, :_MEMB] != 0) & (p2 == nv))
+        conv = jnp.any(hit & (rowi[:, :, :_MEMB] < nst),
+                       axis=2).reshape(B, NC)
         need = chg & ~conv
         e_masked = jnp.where(need, new_e, _BIG)
         # group remap: active groups first, padding steps repeat the
@@ -546,14 +554,20 @@ def _decode_walk(stream, lutp, p0, zlib_len, *, nc_pad: int,
     # set, row live, and position at/after the lane's final entry)
     nv = e_fin.reshape(B, ngr, 1, LPI)
     live = (~dead).reshape(B, ngr, 1, LPI)
-    validr = (((raw0 >> 9) & 1) * (posr >= nv) * live *
-              (rowi < nst)).astype(jnp.int32)
-    outb = jnp.sum(validr * ((raw0 >> 10) & 511), axis=2).reshape(B, NC)
+    recb = ((raw0 >> 9) & 1) * live * (rowi < nst)
+    validr = (recb * (posr >= nv)).astype(jnp.int32)
+    # pair rows whose SECOND token is the converged entry count as one
+    # demoted literal (the finalize emits just s2 for them)
+    dem = (recb * (raw1 != 0) * (posr < nv) *
+           (posr + ((raw0 >> 19) & 15) == nv)).astype(jnp.int32)
+    outl_f = (raw0 >> 10) & 511
+    outb = jnp.sum(validr * outl_f + dem * (outl_f - 1),
+                   axis=2).reshape(B, NC)
     outb = jnp.where(dead, 0, outb)
     out0 = jnp.cumsum(outb, axis=1) - outb
     # record-trim bound = last valid row (garbage prefixes are bounded
     # by _MEMB, so this tracks real token counts, not guess-walk lengths)
-    steps = jnp.max(validr * (rowi + 1), axis=(2, 3))
+    steps = jnp.max((validr | dem) * (rowi + 1), axis=(2, 3))
     if rmw_rows < ST8 and not interpret:
         # RMW truncation sentinel: a re-walked lane still active at the
         # row cap has incomplete records - steps > ST8 tells the driver
@@ -628,14 +642,20 @@ def _make_finalize_kernel(k8: int, lpi: int, geom, gchunk: int):
             # (rows past it are unwritten garbage - there is no fill
             # pass), at/after the converged entry (pre-convergence
             # prefix), and flagged as a record by the walk
-            rec = (((r0 >> 9) & 1) == 1) & (p >= e_l) & \
-                (subl + 8 * t < n_l)
+            recbit = (((r0 >> 9) & 1) == 1) & (subl + 8 * t < n_l)
             sym = r0 & 511
             outlen = (r0 >> 10) & 511
             clen = (r0 >> 19) & 15
             is_m = ((r0 >> 23) & 1) == 1
             s2 = r1 & 0xFF
-            two = rec & (r1 != 0)
+            # pair row whose SECOND token is the entry: demote to that
+            # literal alone (the first literal precedes convergence; the
+            # fixpoint's membership admitted the lane on this position)
+            dem = recbit & (r1 != 0) & (p < e_l) & (p + clen == e_l)
+            rec = (recbit & (p >= e_l)) | dem
+            sym = jnp.where(dem, s2, sym)
+            outlen = jnp.where(dem, 1, outlen)
+            two = rec & (r1 != 0) & ~dem
 
             # per-lane output positions: exclusive prefix of outlen over
             # the 8 step rows (Kogge-Stone over sublanes) + row carry

@@ -138,12 +138,38 @@ def _walk_body(g, zl8_ref, w24_ref, lut_ref, ent_ref, exit_ref, outb_ref,
     lane_word0 = lane * _WPL
     bound = jnp.minimum(lane_bit0 + S_TPU, zl8)
 
+    subl = jax.lax.broadcasted_iota(jnp.int32, (8, LPI), 0)
     ent = jnp.broadcast_to(ent_ref[0, 0], (8, LPI)).astype(jnp.int32)
-    wm = ent != _BIG  # columns this pass owns (rmw write mask)
+    owned = ent != _BIG
+    if old_refs is not None:
+        # in-VMEM membership: a lane whose recorded path (or a packed
+        # pair's second-token position) already contains its corrected
+        # entry is exact by deterministic continuation - skip its
+        # re-walk and report the _BIG exit sentinel so the driver keeps
+        # its previous exit.  Testing here (the record blocks are
+        # already streamed for the RMW) replaces what used to be
+        # ~150MB/pass of XLA-side membership reads.
+        o_pos0, o_r00, o_r10, o_nst0 = old_refs
+        n_old = jnp.broadcast_to(o_nst0[0, 0, 0], (8, LPI)) \
+            .astype(jnp.int32)
+        hit = jnp.zeros((8, LPI), jnp.int32)
+        for t4 in range(_MEMB // 8):
+            pr = o_pos0[0, 0, 8 * t4:8 * (t4 + 1), :]
+            r0r = o_r00[0, 0, 8 * t4:8 * (t4 + 1), :]
+            r1r = o_r10[0, 0, 8 * t4:8 * (t4 + 1), :]
+            rlive = subl + 8 * t4 < n_old
+            h = (pr == ent) | \
+                ((r1r != 0) & (pr + ((r0r >> 19) & 15) == ent))
+            hit = hit | jnp.max((h & rlive).astype(jnp.int32),
+                                axis=0, keepdims=True)
+        member = jnp.broadcast_to(hit[0:1] > 0, (8, LPI))
+        wm = owned & ~member
+    else:
+        member = jnp.zeros((8, LPI), bool)
+        wm = owned
 
     tiles = [w24_ref[0, 0, 8 * t:8 * (t + 1), :] for t in range(_TILES)]
     luts = [lut_ref[0, t].astype(jnp.int32) for t in range(4)]
-    subl = jax.lax.broadcasted_iota(jnp.int32, (8, LPI), 0)
 
     lshr = jax.lax.shift_right_logical
 
@@ -231,7 +257,7 @@ def _walk_body(g, zl8_ref, w24_ref, lut_ref, ent_ref, exit_ref, outb_ref,
         act = adv & (new_pos < bound)
         return new_pos, outl, act, pos, r0, r1
 
-    act0 = (ent < bound) & (lane_bit0 < zl8)
+    act0 = (ent < bound) & (lane_bit0 < zl8) & ~member
 
     # Mosaic only legalizes while loops with SCALAR carries: vector state
     # lives in scratch refs, the loop carries (iteration, any-active)
@@ -300,7 +326,9 @@ def _walk_body(g, zl8_ref, w24_ref, lut_ref, ent_ref, exit_ref, outb_ref,
 
         jax.lax.while_loop(lambda i: i < rows8, copy_body, it)
 
-    exit_ref[0, 0, 0, :] = pos_s[0, :]
+    # member lanes report the _BIG sentinel: the driver keeps their
+    # previous exit (their records were left untouched by wm)
+    exit_ref[0, 0, 0, :] = jnp.where(member[0], _BIG, pos_s[0, :])
     outb_ref[0, 0, 0, :] = outl_s[0, :]
     nst_v = nst_s[0, :]
     if o_nst is not None:
@@ -515,18 +543,12 @@ def _decode_walk(stream, lutp, p0, zlib_len, *, nc_pad: int,
         # the record-trim bound (and so the deposit volume) for the whole
         # batch, so long-prefix lanes re-walk instead (sparse passes are
         # cheap under the group remap)
-        nv = new_e.reshape(B, ngr, 1, LPI)
-        pm = posr[:, :, :_MEMB]
-        # a packed-pair row also visits its SECOND token's position
-        # (p + clen) - prefix-free codes make the speculative second
-        # literal identical to the true token there, so continuation
-        # from that position is also exact (the finalize demotes such
-        # rows to the second literal alone)
-        p2 = pm + ((raw0[:, :, :_MEMB] >> 19) & 15)
-        hit = (pm == nv) | ((raw1[:, :, :_MEMB] != 0) & (p2 == nv))
-        conv = jnp.any(hit & (rowi[:, :, :_MEMB] < nst),
-                       axis=2).reshape(B, NC)
-        need = chg & ~conv
+        # membership (is the corrected entry on the lane's recorded
+        # path, incl. packed pairs' second-token positions?) now runs
+        # INSIDE the RMW kernel on the already-streamed record blocks;
+        # every changed lane is handed to the pass and member lanes
+        # come back with a _BIG exit sentinel and untouched records
+        need = chg
         e_masked = jnp.where(need, new_e, _BIG)
         # group remap: active groups first, padding steps repeat the
         # last active one (their blocks are then never re-streamed)
@@ -542,7 +564,8 @@ def _decode_walk(stream, lutp, p0, zlib_len, *, nc_pad: int,
                             lpi=LPI, rows=min(rmw_rows, ST8),
                             interpret=interpret)
         xn, _o, posr, raw0, raw1, nst = res
-        x = jnp.where(need, xn.reshape(B, NC), x)
+        xn = xn.reshape(B, NC)
+        x = jnp.where(need & (xn != _BIG), xn, x)
         x = jnp.where(dead, 0, x)
         return k + 1, new_e, x, posr, raw0, raw1, nst, jnp.any(chg)
 

@@ -158,14 +158,25 @@ def _decode_launch(pngs: list[bytes], desired_channels: int):
             zl[j] = zlib_len
         from ..ops.specdec_tpu import _bpl_pad
 
-        if is_tpu_backend() and h * _bpl_pad(w * ch) < (1 << 23):
-            imgs, ok = decode_kernel_tpu(
-                jnp.asarray(stream), jnp.asarray(luts), jnp.asarray(p0),
-                jnp.asarray(zl), h=h, w=w, c=ch,
-                nc_pad=plan_tpu(int(zl.max())),
-                zlib_len_max=int(zl.max()))
-            overflow = None
-        else:
+        use_walk = is_tpu_backend() and h * _bpl_pad(w * ch) < (1 << 23)
+        if use_walk:
+            try:
+                imgs, ok = decode_kernel_tpu(
+                    jnp.asarray(stream), jnp.asarray(luts),
+                    jnp.asarray(p0), jnp.asarray(zl), h=h, w=w, c=ch,
+                    nc_pad=plan_tpu(int(zl.max())),
+                    zlib_len_max=int(zl.max()))
+                overflow = None
+            except Exception as e:  # pragma: no cover - device-specific
+                # a Mosaic/backend failure of the walk path must degrade
+                # to the XLA kernel, not kill the decode
+                import sys as _sys
+
+                print(f"fpng_tpu: walk kernel failed ({type(e).__name__}:"
+                      f" {str(e)[:200]}); falling back to the XLA path",
+                      file=_sys.stderr)
+                use_walk = False
+        if not use_walk:
             s_bits, n_chunks, max_steps = plan_chunks(nb)
             imgs, ok, overflow = decode_kernel(
                 jnp.asarray(stream), jnp.asarray(luts), jnp.asarray(p0),

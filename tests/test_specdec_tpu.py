@@ -179,3 +179,21 @@ def test_deep_chunk_checkerboard_roundtrip():
     di, ok = _dec(stream, luts, p0, zl, nb, (h, w, 3))
     assert bool(np.asarray(ok).all())
     assert np.array_equal(np.asarray(di), imgs)
+
+
+def test_membership_demote_roundtrip_128():
+    """128px photo tiles: the fixpoint admits ~10% of lanes through the
+    pair-second-token membership (measured via tools/dbg_fixpoint.py),
+    whose records the finalize must DEMOTE to the second literal.  The
+    64px cases rarely exercise that path; this asserts bit-exact decode
+    at a size where it fires.
+    """
+    from fpng_tpu.train import real_corpus
+
+    tiles = list(real_corpus(3, 256))
+    imgs = np.stack([t[:128, :128] for t in tiles[:2]])
+    pngs = F.encode_batch(imgs, 0)
+    stream, luts, p0, zl, nb = _prep(pngs)
+    di, ok = _dec(stream, luts, p0, zl, nb, (128, 128, 3))
+    assert bool(np.asarray(ok).all())
+    assert np.array_equal(np.asarray(di), imgs)

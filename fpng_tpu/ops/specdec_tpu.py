@@ -794,8 +794,10 @@ def _finalize_records(posr, raw0, raw1, nst, e_fin, out0, *, k8: int,
     # groups per grid step: big enough to amortize per-step fixed cost,
     # small enough that 5 streamed (gchunk, k8, 128) blocks fit the
     # 16MB scoped-VMEM budget (gchunk*k8 = 1152 rows measured ~10MB;
-    # 1280 keeps margin - 1536 OOMed at ng=20/k8=96)
-    gchunk = max(1, 1280 // max(k8, 1))
+    # 1280 keeps margin - 1536 OOMed at ng=20/k8=96).  Interpret mode
+    # has no dispatch overhead to amortize - keep the unrolled program
+    # small (large unrolls have crashed the XLA:CPU compiler)
+    gchunk = 1 if interpret else max(1, 1280 // max(k8, 1))
     while ng % gchunk:
         gchunk -= 1
     ngc = ng // gchunk
@@ -994,7 +996,7 @@ def expand8_tpu(dep8, bmp, *, h: int, w: int, c: int, bpl_pad: int,
     P8 = bpl_pad // 4
     PB = bpl_pad // 32
     H8 = -(-h // 8) * 8
-    tchunk = max(1, min(H8 // 8, 8, 65536 // P8))
+    tchunk = 1 if interpret else max(1, min(H8 // 8, 8, 65536 // P8))
     while (H8 // 8) % tchunk:
         tchunk -= 1
     out = pl.pallas_call(
@@ -1032,7 +1034,7 @@ def expand_tpu(dep, *, h: int, w: int, c: int, bpl_pad: int,
     # dispatch cost (most of this kernel's runtime); 8 unrolled tiles
     # per step cuts that 8x while keeping the unrolled Mosaic program
     # and the streamed blocks (8*tchunk*P words) bounded
-    tchunk = max(1, min(H8 // 8, 8, 65536 // P))
+    tchunk = 1 if interpret else max(1, min(H8 // 8, 8, 65536 // P))
     while (H8 // 8) % tchunk:
         tchunk -= 1
     out = pl.pallas_call(

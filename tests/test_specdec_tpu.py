@@ -187,13 +187,47 @@ def test_membership_demote_roundtrip_128():
     whose records the finalize must DEMOTE to the second literal.  The
     64px cases rarely exercise that path; this asserts bit-exact decode
     at a size where it fires.
-    """
-    from fpng_tpu.train import real_corpus
 
-    tiles = list(real_corpus(3, 256))
-    imgs = np.stack([t[:128, :128] for t in tiles[:2]])
-    pngs = F.encode_batch(imgs, 0)
-    stream, luts, p0, zl, nb = _prep(pngs)
-    di, ok = _dec(stream, luts, p0, zl, nb, (128, 128, 3))
-    assert bool(np.asarray(ok).all())
-    assert np.array_equal(np.asarray(di), imgs)
+    Runs in a SUBPROCESS: compiling this geometry late in a long suite
+    process has segfaulted the XLA:CPU compiler (accumulated in-process
+    LLVM state); isolation makes it deterministic.
+    """
+    import os
+    import subprocess
+    import sys
+
+    code = """
+import numpy as np, jax.numpy as jnp
+import fpng_tpu as F
+from fpng_tpu.models.decoder import _parse_one
+from fpng_tpu.ops.specdec import pack_lut
+from fpng_tpu.ops.specdec_tpu import decode_kernel_tpu, plan_tpu
+from fpng_tpu.train import real_corpus
+tiles = list(real_corpus(3, 256))
+imgs = np.stack([t[:128, :128] for t in tiles[:2]])
+pngs = F.encode_batch(imgs, 0)
+metas = [_parse_one(p) for p in pngs]
+nb = 64
+while nb < max(len(m[4]) for m in metas):
+    nb *= 2
+B = len(pngs)
+stream = np.zeros((B, nb), np.uint8); luts = np.zeros((B, 4096), np.uint32)
+p0 = np.zeros(B, np.int32); zl = np.zeros(B, np.int32)
+for j, m in enumerate(metas):
+    _, _, _, _, src, p, z, lut = m
+    stream[j, :len(src)] = np.frombuffer(src, np.uint8)
+    luts[j] = pack_lut(lut); p0[j] = p; zl[j] = z
+di, ok = decode_kernel_tpu(jnp.asarray(stream), jnp.asarray(luts),
+                           jnp.asarray(p0), jnp.asarray(zl),
+                           h=128, w=128, c=3, nc_pad=plan_tpu(nb),
+                           interpret=True)
+assert bool(np.asarray(ok).all())
+assert np.array_equal(np.asarray(di), imgs)
+print("DEMOTE128 OK")
+"""
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
+    r = subprocess.run([sys.executable, "-c", code], env=env,
+                       capture_output=True, text=True, timeout=900,
+                       cwd=os.path.dirname(os.path.dirname(
+                           os.path.abspath(__file__))))
+    assert "DEMOTE128 OK" in r.stdout, (r.stdout[-500:], r.stderr[-1500:])

@@ -214,11 +214,30 @@ def _bench_decode(imgs, pngs):
 
     zmax = int(zl.max())
 
-    def run():
+    def run_walk():
         return decode_kernel_tpu(sj, lj, pj, zj, h=H, w=W, c=Cc,
                                  nc_pad=nc_pad, zlib_len_max=zmax)
 
-    di, ok = run()  # compile + warm
+    run = run_walk
+    try:
+        di, ok = run()  # compile + warm
+    except Exception as e:  # Mosaic/backend failure: bench the XLA path
+        import sys
+
+        from fpng_tpu.ops.specdec import decode_kernel, plan_chunks
+
+        print(f"bench: walk kernel failed ({type(e).__name__}); "
+              f"falling back to the XLA decode path", file=sys.stderr)
+        s_bits, n_chunks, max_steps = plan_chunks(nb)
+
+        def run_xla():
+            out = decode_kernel(sj, lj, pj, zj, h=H, w=W, c=Cc,
+                                n_chunks=n_chunks, chunk_bits=s_bits,
+                                max_steps=max_steps)
+            return out[0], out[1]
+
+        run = run_xla
+        di, ok = run()
     assert bool(np.asarray(ok)[0])
     assert np.array_equal(np.asarray(di), imgs), "device decode mismatch"
     times = []

@@ -359,8 +359,6 @@ def walk_pass_tpu(w24t, lutp4, entries, zl8, prev=None, remap=None, *,
     are unwritten garbage - there is no fill pass).
     """
     B = w24t.shape[0]
-    if interpret:
-        rows = ST8  # the cap's unwritten-rows invariant is TPU-only
     if remap is None:
         remap = jnp.broadcast_to(
             jnp.arange(ng, dtype=jnp.int32)[None, :], (B, ng))
@@ -591,7 +589,7 @@ def _decode_walk(stream, lutp, p0, zlib_len, *, nc_pad: int,
     # record-trim bound = last valid row (garbage prefixes are bounded
     # by _MEMB, so this tracks real token counts, not guess-walk lengths)
     steps = jnp.max((validr | dem) * (rowi + 1), axis=(2, 3))
-    if rmw_rows < ST8 and not interpret:
+    if rmw_rows < ST8:
         # RMW truncation sentinel: a re-walked lane still active at the
         # row cap has incomplete records - steps > ST8 tells the driver
         # to re-run with full rows.  (exit < bound iff the walk did not

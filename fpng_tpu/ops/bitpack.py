@@ -420,116 +420,6 @@ def scatter_packed16_tpu(meta: jnp.ndarray, num_words: int,
     return out.reshape(B, rows * 128)[:, :num_words]
 
 
-def _make_deposit8_kernel(group: int, wl8: int, wlb: int, sub: int):
-    """Byte-raster + literal-bitmap deposit from packed records.
-
-    Each record - meta (value9 << 23 | slot23), metb (second literal) -
-    contributes its BYTES (sym | s2 << 8, a 16-bit value at byte offset
-    slot*8) to the data raster and its literal FLAGS (lit | lit2 << 1,
-    2 bits at bit offset slot) to the bitmap.  Splitting the 0x100 flag
-    off into a bitmap shrinks the raster scatter's window rows 2x (8
-    bits/slot vs 16) and its spill planes to one, so a group twice as
-    large still fits a single window+matmul - half the scalar-taxed
-    window walks AND less masked-plane build traffic than the packed
-    16-bit-slot deposit.  The bitmap scatter is near-free (2 bits/unit:
-    3 window rows, 5 planes).
-    """
-    grows = group // 128
-
-    def kernel(meta_ref, metb_ref, out8_ref, outb_ref, pend8, prev8,
-               pendb, prevb):
-        t = pl.program_id(1)
-
-        @pl.when(t == 0)
-        def _():
-            pend8[...] = jnp.zeros_like(pend8)
-            pendb[...] = jnp.zeros_like(pendb)
-            s0 = meta_ref[0, 0, 0, 0] & 0x7FFFFF
-            prev8[0] = (s0 >> 2) // 128
-            prevb[0] = (s0 >> 5) // 128
-            out8_ref[...] = jnp.zeros_like(out8_ref)
-            outb_ref[...] = jnp.zeros_like(outb_ref)
-
-        idxv = (jax.lax.broadcasted_iota(jnp.int32, (grows, 128), 0) * 128
-                + jax.lax.broadcasted_iota(jnp.int32, (grows, 128), 1)) \
-            .reshape(group)
-        for k in range((_U * sub) // group):
-            m = meta_ref[0, 0, grows * k:grows * (k + 1), :] \
-                .reshape(group)
-            mb = metb_ref[0, 0, grows * k:grows * (k + 1), :] \
-                .reshape(group)
-            v9 = (m >> 23) & 0x1FF
-            slot = m & 0x7FFFFF
-            vbytes = ((v9 & 0xFF) |
-                      ((mb & 0xFF) << 8)).astype(jnp.uint32)
-            vbytes = jnp.where(v9 != 0, vbytes, 0)
-            flags = (((v9 >> 8) & 1) |
-                     (((mb >> 8) & 1) << 1)).astype(jnp.uint32)
-            s00 = meta_ref[0, 0, grows * k, 0] & 0x7FFFFF
-            _window_deposit(vbytes, slot << 3, idxv, wl8, out8_ref,
-                            pend8, prev8, base0=(s00 >> 2) // 128,
-                            skip_empty=True, nb_hi=1)
-            _window_deposit(flags, slot, idxv, wlb, outb_ref,
-                            pendb, prevb, base0=(s00 >> 5) // 128,
-                            skip_empty=True, nb_hi=1)
-
-    return kernel
-
-
-@functools.partial(jax.jit,
-                   static_argnames=("nw8", "nwb", "interpret", "group",
-                                    "wl8", "wlb", "sub"))
-def scatter_bytes8_tpu(meta: jnp.ndarray, metb: jnp.ndarray, nw8: int,
-                       nwb: int, interpret: bool = False,
-                       group: int = 8192, wl8: int = 2176,
-                       wlb: int = 384,
-                       sub: int = _SUB):
-    """Deposit (B, N) packed records into a byte raster (nw8 uint32
-    words, value sym|s2<<8 at byte slot) AND a literal bitmap (nwb
-    uint32 words, flags lit|lit2<<1 at bit slot).  One kernel, two
-    window machineries - see _make_deposit8_kernel."""
-    B, N = meta.shape
-    step = _U * sub
-    T = -(-N // step)
-    pad = T * step - N
-    if pad:
-        end = meta[:, -1:] & 0x7FFFFF  # final slot (monotone, value 0)
-        meta = jnp.concatenate(
-            [meta, jnp.broadcast_to(end, (B, pad))], axis=1)
-        metb = jnp.concatenate(
-            [metb, jnp.zeros((B, pad), metb.dtype)], axis=1)
-    rows8 = -(-nw8 // 128) + wl8 // 128 + 1
-    rowsb = -(-nwb // 128) + wlb // 128 + 1
-    sub8 = 8 * sub
-    spec = pl.BlockSpec((1, 1, sub8, 128), lambda b, t: (b, t, 0, 0),
-                        memory_space=pltpu.VMEM)
-    out8, outb = pl.pallas_call(
-        _make_deposit8_kernel(group, wl8, wlb, sub),
-        grid=(B, T),
-        in_specs=[spec, spec],
-        out_specs=(
-            pl.BlockSpec((1, rows8, 128), lambda b, t: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, rowsb, 128), lambda b, t: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((B, rows8, 128), jnp.uint32),
-            jax.ShapeDtypeStruct((B, rowsb, 128), jnp.uint32),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((2 * (wl8 // 128), 128), jnp.uint32),
-            pltpu.SMEM((1,), jnp.int32),
-            pltpu.VMEM((2 * (wlb // 128), 128), jnp.uint32),
-            pltpu.SMEM((1,), jnp.int32),
-        ],
-        interpret=interpret,
-    )(meta.astype(jnp.int32).reshape(B, T, sub8, 128),
-      metb.astype(jnp.int32).reshape(B, T, sub8, 128))
-    return (out8.reshape(B, rows8 * 128)[:, :nw8],
-            outb.reshape(B, rowsb * 128)[:, :nwb])
-
-
 def is_tpu_backend() -> bool:
     """True when the default backend drives TPU hardware (incl. axon)."""
     return jax.default_backend() in ("tpu", "axon")

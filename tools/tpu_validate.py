@@ -3,10 +3,9 @@
 Runs, in order (each stage prints its own timing):
   1. profile_kernels (validates capped-RMW walk, divmod finalize,
      expand tchunk, in-kernel membership on hardware; baseline numbers)
-  2. dep8 split-deposit A/B (FPNG_TPU_DEP8=1 subprocess)
-  3. encoder geometry A/B (FPNG_TPU_GUE=2048 FPNG_TPU_WLE=2560)
-  4. deposit sub-tile A/B (FPNG_TPU_DEP_SUB=32)
-  5. verify drive
+  2. encoder geometry A/B (FPNG_TPU_GUE=2048 FPNG_TPU_WLE=2560)
+  3. deposit sub-tile A/B (FPNG_TPU_DEP_SUB=32)
+  4. verify drive
 Each A/B stage runs profile_kernels in a subprocess with the env knob.
 """
 import os
@@ -37,7 +36,6 @@ def run(tag, extra_env=None, script="tools/profile_kernels.py",
 def main():
     stages = [
         ("baseline", None, "tools/profile_kernels.py"),
-        ("dep8", {"FPNG_TPU_DEP8": "1"}, "tools/profile_kernels.py"),
         ("enc-g2048", {"FPNG_TPU_GUE": "2048", "FPNG_TPU_WLE": "2560"},
          "tools/profile_kernels.py"),
         ("dep-sub32", {"FPNG_TPU_DEP_SUB": "32"},

@@ -69,104 +69,68 @@ _TILES = 3           # 8-row word-tile count covering _WPL + 2 halo words
 _RT = _TILES * 8     # stream tile rows (24; rows 18-23 are padding)
 
 
-def _make_walk_kernel(lpi: int, rmw: bool, guard: bool = True,
-                      rows: int = ST8):
-    """Kernel factory: lpi lanes per instance.
+def _make_walk_kernel(lpi: int, guard: bool = True):
+    """Kernel factory: lpi lanes per instance, FULL in-kernel fixpoint.
 
-    Every pass records RAW per-step rows (see _walk_body) - the record
-    pass IS the fixpoint pass.  rmw passes alias the previous record
-    arrays and only overwrite columns of lanes being re-walked (entry
-    != BIG), so incremental fixpoint re-walks update just the diverged
-    lanes' records in place.  rows caps the record rows this pass may
-    touch (RMW passes stream only that many rows per block - the rest
-    of the aliased buffer is never visited and keeps its content); a
-    lane still active at the cap is TRUNCATED - callers must detect
-    (nst == rows, exit < bound) and fall back to a full-rows pass."""
+    One launch resolves the entire decode walk.  The sequential TPU grid
+    carries the previous group's converged last-lane exit in SMEM
+    scratch, so each instance (a) walks its lanes from their byte-
+    aligned guesses, (b) iterates the entry fixpoint entirely in VMEM -
+    corrected entries come from the predecessor lane's exit (pltpu.roll)
+    and the carry, membership tests run against the instance's own
+    recorded positions, and only genuinely diverged lanes re-walk,
+    overwriting just their record columns - and (c) publishes its last
+    exit for the next group before that group's grid step runs.  This
+    replaces the former driver-level fixpoint (one RMW pallas launch +
+    record-block streaming + group argsort per pass, ~6 passes and
+    ~60% of the walk stage on the photo corpus, r4 measurement)."""
 
-    def kernel(rm_ref, zl8_ref, w24_ref, lut_ref, ent_ref, *rest):
-        old_refs = None
-        if rmw:
-            # aliased posr/raw0/raw1/nst: the INPUT refs carry the
-            # streamed-in old content (output blocks start uninitialized
-            # on TPU)
-            old_refs = rest[:4]
-            rest = rest[4:]
-        (exit_ref, outb_ref, posr_ref, raw0_ref, raw1_ref,
-         nst_ref) = rest[:6]
-        scr = rest[6:]
-        # the scalar-prefetched remap names the ACTUAL group this grid
-        # step processes (sparse re-walks sort active groups first and
-        # point every padding step at the last active one, so Mosaic's
-        # block-revisit skips their block traffic entirely).  A padding
-        # step would recompute the repeated group's whole walk - guard
-        # the entire body so duplicates cost nothing (their VMEM blocks
-        # still hold the first visit's results for writeback).
+    def kernel(rm_ref, zl8_ref, p0_ref, w24_ref, lut_ref, efin_ref,
+               posr_ref, raw0_ref, raw1_ref, nst_ref, *scr):
         b = pl.program_id(0)
         g = pl.program_id(1)
         gm = rm_ref[b, g]
+        carry_s = scr[-1]
+
+        @pl.when(g == 0)
+        def _():
+            carry_s[0] = p0_ref[b, 0]
 
         def run():
-            _walk_body(gm, zl8_ref, w24_ref, lut_ref, ent_ref, exit_ref,
-                       outb_ref, posr_ref, raw0_ref, raw1_ref, nst_ref,
-                       scr, lpi, old_refs, rows // 8)
+            _walk_body(gm, zl8_ref, w24_ref, lut_ref, efin_ref,
+                       posr_ref, raw0_ref, raw1_ref, nst_ref, scr, lpi)
 
         if guard:
+            # the scalar-prefetched remap names the ACTUAL group this
+            # grid step processes (pass0 skips trailing all-dead groups
+            # by repeating the last live one); re-running a duplicate
+            # would clobber the carry with a stale value, so the guard
+            # is correctness-bearing here (the driver only remaps when
+            # guarding is available, i.e. never in interpret mode)
             dup = (g > 0) & (gm == rm_ref[b, jnp.maximum(g - 1, 0)])
             pl.when(~dup)(run)
         else:
-            # interpret mode cannot lower pl.when around the body; the
-            # guard is purely a perf optimization (duplicate steps
-            # recompute identical results), so plain execution is fine
             run()
 
     return kernel
 
 
 _INF = 0x7FFFFFFF
-_BIG = 0x3FFFFFFF  # masked-lane entry sentinel (> every stream position)
 _MEMB = 32  # fixpoint membership window (= one record-trim granule)
 
 
-def _walk_body(g, zl8_ref, w24_ref, lut_ref, ent_ref, exit_ref, outb_ref,
-               posr_ref, raw0_ref, raw1_ref, nst_ref, scr, LPI,
-               old_refs, rows8):
-    pos_s, outl_s, act_s, nst_s = scr
+def _walk_body(g, zl8_ref, w24_ref, lut_ref, efin_ref, posr_ref,
+               raw0_ref, raw1_ref, nst_ref, scr, LPI):
+    pos_s, outl_s, act_s, nst_s, ent_s, exit_s, carry_s = scr
     zl8 = zl8_ref[pl.program_id(0), 0]
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (8, LPI), 1) + g * LPI
+    col = jax.lax.broadcasted_iota(jnp.int32, (8, LPI), 1)
     lane_bit0 = lane * S_TPU
     lane_word0 = lane * _WPL
     bound = jnp.minimum(lane_bit0 + S_TPU, zl8)
-
+    live = lane_bit0 < zl8
     subl = jax.lax.broadcasted_iota(jnp.int32, (8, LPI), 0)
-    ent = jnp.broadcast_to(ent_ref[0, 0], (8, LPI)).astype(jnp.int32)
-    owned = ent != _BIG
-    if old_refs is not None:
-        # in-VMEM membership: a lane whose recorded path (or a packed
-        # pair's second-token position) already contains its corrected
-        # entry is exact by deterministic continuation - skip its
-        # re-walk and report the _BIG exit sentinel so the driver keeps
-        # its previous exit.  Testing here (the record blocks are
-        # already streamed for the RMW) replaces what used to be
-        # ~150MB/pass of XLA-side membership reads.
-        o_pos0, o_r00, o_r10, o_nst0 = old_refs
-        n_old = jnp.broadcast_to(o_nst0[0, 0, 0], (8, LPI)) \
-            .astype(jnp.int32)
-        hit = jnp.zeros((8, LPI), jnp.int32)
-        for t4 in range(_MEMB // 8):
-            pr = o_pos0[0, 0, 8 * t4:8 * (t4 + 1), :]
-            r0r = o_r00[0, 0, 8 * t4:8 * (t4 + 1), :]
-            r1r = o_r10[0, 0, 8 * t4:8 * (t4 + 1), :]
-            rlive = subl + 8 * t4 < n_old
-            h = (pr == ent) | \
-                ((r1r != 0) & (pr + ((r0r >> 19) & 15) == ent))
-            hit = hit | jnp.max((h & rlive).astype(jnp.int32),
-                                axis=0, keepdims=True)
-        member = jnp.broadcast_to(hit[0:1] > 0, (8, LPI))
-        wm = owned & ~member
-    else:
-        member = jnp.zeros((8, LPI), bool)
-        wm = owned
 
     tiles = [w24_ref[0, 0, 8 * t:8 * (t + 1), :] for t in range(_TILES)]
     luts = [lut_ref[0, t].astype(jnp.int32) for t in range(4)]
@@ -200,12 +164,12 @@ def _walk_body(g, zl8_ref, w24_ref, lut_ref, ent_ref, exit_ref, outb_ref,
         w = lshr(w_lo, sh) | ((w_hi << (31 - sh)) << 1)
         pk = w & 0xFFF
 
-        col = pk & 127
+        col_ = pk & 127
         row = (pk >> 7) & 7
         tid = pk >> 10
         parts = []
         for k in range(LPI // 128):
-            cs = col[:, 128 * k:128 * (k + 1)]
+            cs = col_[:, 128 * k:128 * (k + 1)]
             rs = row[:, 128 * k:128 * (k + 1)]
             ts = tid[:, 128 * k:128 * (k + 1)]
             # column-gather all 4 tiles, select the element's tile by
@@ -257,141 +221,176 @@ def _walk_body(g, zl8_ref, w24_ref, lut_ref, ent_ref, exit_ref, outb_ref,
         act = adv & (new_pos < bound)
         return new_pos, outl, act, pos, r0, r1
 
-    act0 = (ent < bound) & (lane_bit0 < zl8) & ~member
+    def walk(wm, first: bool):
+        """(Re)walk lanes where wm holds, from ent_s; records, exit and
+        nst of all other lanes are preserved (VMEM read-modify-write -
+        this instance owns its blocks, so no streaming is involved).
 
-    # Mosaic only legalizes while loops with SCALAR carries: vector state
-    # lives in scratch refs, the loop carries (iteration, any-active)
-    pos_s[...] = ent
-    outl_s[...] = jnp.zeros((8, LPI), jnp.int32)
-    act_s[...] = act0.astype(jnp.int32)
-    nst_s[...] = jnp.zeros((8, LPI), jnp.int32)
+        Mosaic only legalizes while loops with SCALAR carries: vector
+        state lives in the scratch refs, the loop carries (iteration,
+        any-active)."""
+        ent = ent_s[...]
+        act0 = wm & (ent < bound) & live
+        pos_s[...] = ent
+        outl_s[...] = jnp.zeros((8, LPI), jnp.int32)
+        act_s[...] = act0.astype(jnp.int32)
+        nst_s[...] = jnp.zeros((8, LPI), jnp.int32)
 
-    def wr(ref, old_ref, it, val):
-        if old_ref is not None:
-            old = old_ref[0, 0, pl.ds(it * 8, 8), :]
-            val = jnp.where(wm, val, old)
-        ref[0, 0, pl.ds(it * 8, 8), :] = val
+        def wr(ref, it, val):
+            if not first:
+                old = ref[0, 0, pl.ds(it * 8, 8), :]
+                val = jnp.where(wm, val, old)
+            ref[0, 0, pl.ds(it * 8, 8), :] = val
 
-    o_pos, o_r0, o_r1, o_nst = old_refs if old_refs is not None \
-        else (None, None, None, None)
+        def body(st):
+            it, _any = st
+            pos = pos_s[...]
+            outl = outl_s[...]
+            act = act_s[...] != 0
+            cnt = nst_s[...]
+            g_pos = jnp.zeros((8, LPI), jnp.int32)
+            g_r0 = jnp.zeros((8, LPI), jnp.int32)
+            g_r1 = jnp.zeros((8, LPI), jnp.int32)
+            for u in range(8):
+                # a lane's row u is genuine iff the lane was still
+                # active entering the step; cnt bounds the lane's live
+                # record rows (no trailing fill pass - the finalize
+                # kernel masks rows >= nst, so rows past the last
+                # written tile may hold garbage or a previous walk's
+                # rows)
+                cnt = cnt + act.astype(jnp.int32)
+                pos, outl, act, spos, r0, r1 = step(pos, outl, act)
+                g_pos = jnp.where(subl == u, spos, g_pos)
+                g_r0 = jnp.where(subl == u, r0, g_r0)
+                g_r1 = jnp.where(subl == u, r1, g_r1)
+            wr(posr_ref, it, g_pos)
+            wr(raw0_ref, it, g_r0)
+            wr(raw1_ref, it, g_r1)
+            pos_s[...] = pos
+            outl_s[...] = outl
+            act_s[...] = act.astype(jnp.int32)
+            nst_s[...] = cnt
+            return it + 1, jnp.any(act).astype(jnp.int32)
 
-    def body(st):
-        it, _any = st
-        pos = pos_s[...]
-        outl = outl_s[...]
-        act = act_s[...] != 0
-        cnt = nst_s[...]
-        g_pos = jnp.zeros((8, LPI), jnp.int32)
-        g_r0 = jnp.zeros((8, LPI), jnp.int32)
-        g_r1 = jnp.zeros((8, LPI), jnp.int32)
-        for u in range(8):
-            # a lane's row u is genuine iff the lane was still active
-            # entering the step; cnt bounds the lane's live record rows
-            # (no trailing fill pass - the finalize kernel masks rows
-            # >= nst, so rows past the last written tile may hold
-            # garbage or, after an RMW re-walk, a previous pass's rows)
-            cnt = cnt + act.astype(jnp.int32)
-            pos, outl, act, spos, r0, r1 = step(pos, outl, act)
-            g_pos = jnp.where(subl == u, spos, g_pos)
-            g_r0 = jnp.where(subl == u, r0, g_r0)
-            g_r1 = jnp.where(subl == u, r1, g_r1)
-        wr(posr_ref, o_pos, it, g_pos)
-        wr(raw0_ref, o_r0, it, g_r0)
-        wr(raw1_ref, o_r1, it, g_r1)
-        pos_s[...] = pos
-        outl_s[...] = outl
-        act_s[...] = act.astype(jnp.int32)
-        nst_s[...] = cnt
-        return it + 1, jnp.any(act).astype(jnp.int32)
+        def cond(st):
+            return (st[0] < ST8 // 8) & (st[1] != 0)
 
-    def cond(st):
-        return (st[0] < rows8) & (st[1] != 0)
+        jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.int32(1)))
 
-    it, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.int32(1)))
+        if first:
+            exit_s[...] = pos_s[...]
+            nst_ref[0, 0, 0, :] = nst_s[0, :]
+        else:
+            exit_s[...] = jnp.where(wm, pos_s[...], exit_s[...])
+            nst_ref[0, 0, 0, :] = jnp.where(
+                wm[0], nst_s[0, :], nst_ref[0, 0, 0, :])
 
-    if o_pos is not None:
-        # RMW: the aliased OUTPUT block writes back whole, but rows the
-        # walk never reached hold garbage in the output VMEM buffer -
-        # copy the streamed-in old rows forward so non-owned lanes keep
-        # their records (only active groups pay this; owned lanes' old
-        # high rows are masked downstream by their new nst)
-        def copy_body(it2):
-            posr_ref[0, 0, pl.ds(it2 * 8, 8), :] = \
-                o_pos[0, 0, pl.ds(it2 * 8, 8), :]
-            raw0_ref[0, 0, pl.ds(it2 * 8, 8), :] = \
-                o_r0[0, 0, pl.ds(it2 * 8, 8), :]
-            raw1_ref[0, 0, pl.ds(it2 * 8, 8), :] = \
-                o_r1[0, 0, pl.ds(it2 * 8, 8), :]
-            return it2 + 1
+    # pass 0: entries are the byte-aligned guesses; the group's first
+    # lane takes the carry (= p0 for the image's first group, else the
+    # previous group's converged last exit - which, because the grid is
+    # sequential and each instance converges before returning, is FINAL
+    # by the time this instance runs)
+    ent_s[...] = jnp.where(col == 0,
+                           jnp.broadcast_to(carry_s[0], (8, LPI)),
+                           lane_bit0)
+    walk(jnp.full((8, LPI), True), first=True)
 
-        jax.lax.while_loop(lambda i: i < rows8, copy_body, it)
+    def fix_body(st):
+        it, _chg = st
+        prev_exit = pltpu.roll(exit_s[...], 1, 1)
+        e_new = jnp.where(col == 0,
+                          jnp.broadcast_to(carry_s[0], (8, LPI)),
+                          prev_exit)
+        ent = ent_s[...]
+        chg = (e_new != ent) & live
+        # in-VMEM membership: a lane whose recorded path (or a packed
+        # pair's second-token position) already contains its corrected
+        # entry is exact by deterministic continuation - the walk from
+        # that entry is exactly the recorded suffix, so its exit is
+        # already correct and no re-walk is needed.  Only the first
+        # _MEMB rows count: a longer garbage prefix would inflate the
+        # record-trim bound (and so the deposit volume) for the whole
+        # batch, so long-prefix lanes re-walk instead.
+        n_old = jnp.broadcast_to(nst_ref[0, 0, 0, :], (8, LPI)) \
+            .astype(jnp.int32)
+        hit = jnp.zeros((8, LPI), jnp.int32)
+        for t4 in range(_MEMB // 8):
+            pr = posr_ref[0, 0, 8 * t4:8 * (t4 + 1), :]
+            r0r = raw0_ref[0, 0, 8 * t4:8 * (t4 + 1), :]
+            r1r = raw1_ref[0, 0, 8 * t4:8 * (t4 + 1), :]
+            rlive = subl + 8 * t4 < n_old
+            h = (pr == e_new) | \
+                ((r1r != 0) & (pr + ((r0r >> 19) & 15) == e_new))
+            hit = hit | jnp.max((h & rlive).astype(jnp.int32),
+                                axis=0, keepdims=True)
+        member = jnp.broadcast_to(hit[0:1] > 0, (8, LPI))
+        ent_s[...] = jnp.where(chg, e_new, ent)
+        walk(chg & ~member, first=False)
+        return it + 1, jnp.max(chg.astype(jnp.int32))
 
-    # member lanes report the _BIG sentinel: the driver keeps their
-    # previous exit (their records were left untouched by wm)
-    exit_ref[0, 0, 0, :] = jnp.where(member[0], _BIG, pos_s[0, :])
-    outb_ref[0, 0, 0, :] = outl_s[0, :]
-    nst_v = nst_s[0, :]
-    if o_nst is not None:
-        nst_v = jnp.where(wm[0], nst_v, o_nst[0, 0, 0, :])
-    nst_ref[0, 0, 0, :] = nst_v
+    def fix_cond(st):
+        return (st[0] < LPI + 2) & (st[1] != 0)
+
+    jax.lax.while_loop(fix_cond, fix_body, (jnp.int32(0), jnp.int32(1)))
+
+    efin_ref[0, 0, 0, :] = ent_s[0, :]
+    # publish the group's converged last-lane exit for the next group
+    carry_s[0] = jnp.max(jnp.where(col[0:1] == LPI - 1,
+                                   exit_s[0:1, :], -_INF))
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("ng", "lpi", "rows", "interpret"))
-def walk_pass_tpu(w24t, lutp4, entries, zl8, prev=None, remap=None, *,
-                  ng: int, lpi: int = LPI, rows: int = ST8,
-                  interpret: bool = False):
-    """One lockstep walk pass over every chunk lane.
+@functools.partial(jax.jit, static_argnames=("ng", "lpi", "interpret"))
+def walk_fix_tpu(w24t, lutp4, p0, zl8, remap=None, *, ng: int,
+                 lpi: int = LPI, interpret: bool = False):
+    """The complete decode walk - guess pass + entry fixpoint - in ONE
+    pallas launch (see _make_walk_kernel).
 
     w24t: (B, NG, 24, lpi) int32 per-lane stream-word tiles;
     lutp4: (B, 4, 8, 128) int32 packed LUT tiles;
-    entries: (B, NG, 1, lpi) int32; zl8: (B, 1) int32 stream bit length.
-    prev = (posr, raw0, raw1, nst) switches to the RMW re-walk form: the
-    record arrays are aliased in place and only columns of lanes whose
-    entry != _BIG are overwritten.  remap (B, NG) int32 reorders which
-    group each grid step processes (scalar-prefetched so block index
-    maps follow it): sparse passes put active groups first and repeat
-    the last one, so untouched groups cost no block traffic and
-    duplicate steps skip the body entirely.
-    Returns (exits, outb, posr, raw0, raw1, nst); records raw,
-    (B, NG, ST8, lpi) - see _walk_body for the row encoding; nst
-    (B, NG, 1, lpi) counts each lane's live record rows (rows >= nst
-    are unwritten garbage - there is no fill pass).
+    p0: (B,) int32 first-token bit position; zl8: (B, 1) int32 stream
+    bit length.  remap (B, NG) int32 reorders which group each grid
+    step processes (scalar-prefetched so block index maps follow it):
+    pass0 puts live groups first and repeats the last one, so trailing
+    all-dead groups cost no block traffic; duplicate steps skip the
+    body entirely (the guard is correctness-bearing for the carry, so
+    remap must be None in interpret mode).
+    Returns (efin, posr, raw0, raw1, nst): records raw, (B, NG, ST8,
+    lpi) - see _walk_body for the row encoding; nst (B, NG, 1, lpi)
+    counts each lane's live record rows (rows >= nst are unwritten
+    garbage - there is no fill pass); efin (B, NG, 1, lpi) is each
+    lane's converged entry.
     """
     B = w24t.shape[0]
+    guard = not interpret
     if remap is None:
         remap = jnp.broadcast_to(
             jnp.arange(ng, dtype=jnp.int32)[None, :], (B, ng))
+    else:
+        assert guard, "remap requires the dup guard (not interpret mode)"
 
     def gmap(spec):
         # index map following the prefetched remap for per-group blocks
         return lambda b, g, rm: spec(b, rm[b, g])
 
-    # record blocks stream only `rows` rows; the (B, ng, ST8, lpi)
-    # buffers' higher rows are never visited (and, under aliasing, keep
-    # the previous pass's content)
-    rec_spec = pl.BlockSpec((1, 1, rows, lpi),
+    rec_spec = pl.BlockSpec((1, 1, ST8, lpi),
                             gmap(lambda b, g: (b, g, 0, 0)),
                             memory_space=pltpu.VMEM)
     lane_spec = pl.BlockSpec((1, 1, 1, lpi),
                              gmap(lambda b, g: (b, g, 0, 0)),
                              memory_space=pltpu.VMEM)
-    out_specs = [
-        lane_spec,
-        lane_spec,
-        rec_spec, rec_spec, rec_spec,
-        lane_spec,
-    ]
-    out_shape = [
-        jax.ShapeDtypeStruct((B, ng, 1, lpi), jnp.int32),
+    out_specs = (lane_spec, rec_spec, rec_spec, rec_spec, lane_spec)
+    out_shape = (
         jax.ShapeDtypeStruct((B, ng, 1, lpi), jnp.int32),
         jax.ShapeDtypeStruct((B, ng, ST8, lpi), jnp.int32),
         jax.ShapeDtypeStruct((B, ng, ST8, lpi), jnp.int32),
         jax.ShapeDtypeStruct((B, ng, ST8, lpi), jnp.int32),
         jax.ShapeDtypeStruct((B, ng, 1, lpi), jnp.int32),
-    ]
-    scratch = [pltpu.VMEM((8, lpi), jnp.int32) for _ in range(4)]
+    )
+    scratch = [pltpu.VMEM((8, lpi), jnp.int32) for _ in range(6)] + \
+        [pltpu.SMEM((1,), jnp.int32)]
     in_specs = [
+        pl.BlockSpec((B, 1), lambda b, g, rm: (0, 0),
+                     memory_space=pltpu.SMEM),
         pl.BlockSpec((B, 1), lambda b, g, rm: (0, 0),
                      memory_space=pltpu.SMEM),
         pl.BlockSpec((1, 1, _RT, lpi),
@@ -399,31 +398,21 @@ def walk_pass_tpu(w24t, lutp4, entries, zl8, prev=None, remap=None, *,
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 4, 8, 128), lambda b, g, rm: (b, 0, 0, 0),
                      memory_space=pltpu.VMEM),
-        lane_spec,
     ]
-    args = [zl8.astype(jnp.int32), w24t, lutp4, entries]
-    aliases = {}
-    if prev is not None:
-        in_specs += [rec_spec, rec_spec, rec_spec, lane_spec]
-        args += list(prev)
-        # +1: the scalar-prefetch operand shifts pallas input indices;
-        # outputs 2-5 are (posr, raw0, raw1, nst)
-        aliases = {5: 2, 6: 3, 7: 4, 8: 5}
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B, ng),
         in_specs=in_specs,
-        out_specs=tuple(out_specs),
+        out_specs=out_specs,
         scratch_shapes=scratch,
     )
     return pl.pallas_call(
-        _make_walk_kernel(lpi, prev is not None, guard=not interpret,
-                          rows=rows),
+        _make_walk_kernel(lpi, guard=guard),
         grid_spec=grid_spec,
-        out_shape=tuple(out_shape),
-        input_output_aliases=aliases,
+        out_shape=out_shape,
         interpret=interpret,
-    )(remap.astype(jnp.int32), *args)
+    )(remap.astype(jnp.int32), zl8.astype(jnp.int32),
+      p0.astype(jnp.int32).reshape(B, 1), w24t, lutp4)
 
 
 def _lane_tiles(stream, nc_pad: int):
@@ -436,10 +425,12 @@ def _lane_tiles(stream, nc_pad: int):
     B, nb = stream.shape
     nw = (nc_pad + 1) * _WPL
     pad = 4 * nw - nb
-    sp = jnp.pad(stream, ((0, 0), (0, max(pad, 0)))).astype(jnp.int32)
-    q = sp[:, :4 * nw].reshape(B, nw, 4)
-    w32 = q[:, :, 0] | (q[:, :, 1] << 8) | (q[:, :, 2] << 16) | \
-        (q[:, :, 3] << 24)
+    sp = jnp.pad(stream, ((0, 0), (0, max(pad, 0))))
+    # LE byte->word pack as ONE bitcast: the shift-or form forced XLA
+    # into four stride-4 uint8 slices and dominated the walk stage
+    # (~11.6ms of the 31ms at 32x512x512x3, measured r4)
+    w32 = jax.lax.bitcast_convert_type(
+        sp[:, :4 * nw].reshape(B, nw, 4), jnp.uint32).astype(jnp.int32)
     base = w32[:, :nc_pad * _WPL].reshape(B, nc_pad, _WPL)
     halo = w32[:, _WPL:(nc_pad + 1) * _WPL].reshape(
         B, nc_pad, _WPL)[:, :, :2]
@@ -465,33 +456,24 @@ def _bpl_pad(bpl: int) -> int:
     return bpl if bpl < 256 else -(-bpl // 256) * 256
 
 
-_DEP8 = _os.environ.get("FPNG_TPU_DEP8", "0") == "1"  # split-deposit path (TPU A/B pending)
-
-_RMW_ROWS = 128  # fixpoint re-walk record-row cap (measured depth <= 96;
-#                  truncation detected and re-run full-rows by the driver)
-
-
 @functools.partial(
-    jax.jit,
-    static_argnames=("nc_pad", "ncg_live", "rmw_rows", "interpret"))
+    jax.jit, static_argnames=("nc_pad", "ncg_live", "interpret"))
 def _decode_walk(stream, lutp, p0, zlib_len, *, nc_pad: int,
-                 ncg_live: int | None = None, rmw_rows: int = _RMW_ROWS,
-                 interpret: bool = False):
-    """Stage 1: one raw-recording pass + membership fixpoint.
+                 ncg_live: int | None = None, interpret: bool = False):
+    """Stage 1: the complete walk + entry fixpoint (ONE pallas launch).
 
-    pass0 records every lane's walk from its byte-aligned guess.  The
-    fixpoint then uses the recorded step positions as each lane's
-    VISITED set: when a lane's corrected entry appears among its own
-    recorded positions, the walk from that entry is exactly the
-    recorded suffix (deterministic continuation), so its exit is
-    already correct and NO re-walk is needed - only genuinely diverged
-    lanes (periodic content defeating self-synchronization) re-walk,
-    updating their record columns in place (RMW).  This removes the
-    full re-walk-everything pass AND the separate finalized-record
-    pass the previous design needed; pre-convergence garbage rows are
-    masked downstream by `pos < entry` (positions are monotone, and a
-    lane whose path skipped over its entry fails membership and
-    re-walks, so the mask is exact).
+    The kernel records every lane's walk from its byte-aligned guess
+    and converges the entry fixpoint in-kernel (see _make_walk_kernel):
+    the recorded step positions are each lane's VISITED set - when a
+    lane's corrected entry appears among its own recorded positions,
+    the walk from that entry is exactly the recorded suffix
+    (deterministic continuation), so its exit is already correct and NO
+    re-walk is needed; only genuinely diverged lanes (periodic content
+    defeating self-synchronization) re-walk, updating their record
+    columns in place in VMEM.  Pre-convergence garbage rows are masked
+    downstream by `pos < entry` (positions are monotone, and a lane
+    whose path skipped over its entry fails membership and re-walks,
+    so the mask is exact).
 
     Returns (posr, raw0, raw1, nst, e_fin, out0, steps, fix_passes) -
     records RAW in (B, NG, ST8, LPI) kernel layout; the finalize
@@ -506,70 +488,26 @@ def _decode_walk(stream, lutp, p0, zlib_len, *, nc_pad: int,
 
     starts = (jnp.arange(NC, dtype=jnp.int32) * S_TPU)[None, :]
     dead = starts >= zl8
-    e0 = jnp.broadcast_to(starts, (B, NC)).at[:, 0].set(p0)
 
-    tiles = _lane_tiles(stream, NC)
-    w24r, ngr = _prep_w24_tiles(stream, NC, LPI, tiles)
+    w24r, ngr = _prep_w24_tiles(stream, NC, LPI)
 
     # pass0 live-group remap: all-dead trailing groups of the coarse
     # walk bucket stream no blocks and run no iterations (their record
     # blocks stay unwritten garbage; every consumer below masks by
-    # `dead`, and the finish stages never visit them)
+    # `dead`, and the finish stages never visit them).  Interpret mode
+    # cannot lower the dup guard, which is correctness-bearing for the
+    # kernel's cross-group carry - no remap there (CPU test cost only).
     remap0 = None
-    if ncg_live is not None and ncg_live < ngr:
+    if not interpret and ncg_live is not None and ncg_live < ngr:
         r0 = np.concatenate([
             np.arange(ncg_live, dtype=np.int32),
             np.full(ngr - ncg_live, ncg_live - 1, np.int32)])
         remap0 = jnp.broadcast_to(r0[None, :], (B, ngr))
-    res0 = walk_pass_tpu(w24r, lutp4, e0.reshape(B, ngr, 1, LPI), zl8,
-                         remap=remap0, ng=ngr, lpi=LPI,
-                         interpret=interpret)
-    x0, _outb0, posr, raw0, raw1, nst = res0
-    x0 = jnp.where(dead, 0, x0.reshape(B, NC))
+    e_fin4, posr, raw0, raw1, nst = walk_fix_tpu(
+        w24r, lutp4, p0, zl8, remap=remap0, ng=ngr, lpi=LPI,
+        interpret=interpret)
+    e_fin = e_fin4.reshape(B, NC)
     rowi = jnp.arange(ST8, dtype=jnp.int32).reshape(1, 1, ST8, 1)
-
-    def fix_cond(st):
-        return st[-1] & (st[0] <= NC)
-
-    def fix_body(st):
-        k, e, x, posr, raw0, raw1, nst, _ch = st
-        new_e = jnp.concatenate([p0[:, None], x[:, :-1]], axis=1)
-        chg = (new_e != e) & ~dead
-        # visited-position membership: recorded paths containing the
-        # corrected entry are already correct from there on.  Only the
-        # first _MEMB rows count - a longer garbage prefix would inflate
-        # the record-trim bound (and so the deposit volume) for the whole
-        # batch, so long-prefix lanes re-walk instead (sparse passes are
-        # cheap under the group remap)
-        # membership (is the corrected entry on the lane's recorded
-        # path, incl. packed pairs' second-token positions?) now runs
-        # INSIDE the RMW kernel on the already-streamed record blocks;
-        # every changed lane is handed to the pass and member lanes
-        # come back with a _BIG exit sentinel and untouched records
-        need = chg
-        e_masked = jnp.where(need, new_e, _BIG)
-        # group remap: active groups first, padding steps repeat the
-        # last active one (their blocks are then never re-streamed)
-        act_g = jnp.any(need.reshape(B, ngr, LPI), axis=2)
-        order = jnp.argsort(~act_g, axis=1, stable=True).astype(jnp.int32)
-        n_act = jnp.sum(act_g.astype(jnp.int32), axis=1, keepdims=True)
-        gi = jnp.minimum(jnp.arange(ngr, dtype=jnp.int32)[None, :],
-                         jnp.maximum(n_act - 1, 0))
-        remap = jnp.take_along_axis(order, gi, axis=1)
-        res = walk_pass_tpu(w24r, lutp4,
-                            e_masked.reshape(B, ngr, 1, LPI), zl8,
-                            (posr, raw0, raw1, nst), remap, ng=ngr,
-                            lpi=LPI, rows=min(rmw_rows, ST8),
-                            interpret=interpret)
-        xn, _o, posr, raw0, raw1, nst = res
-        xn = xn.reshape(B, NC)
-        x = jnp.where(need & (xn != _BIG), xn, x)
-        x = jnp.where(dead, 0, x)
-        return k + 1, new_e, x, posr, raw0, raw1, nst, jnp.any(chg)
-
-    fix_passes, e_fin, _x, posr, raw0, raw1, nst, _ = jax.lax.while_loop(
-        fix_cond, fix_body,
-        (jnp.int32(1), e0, x0, posr, raw0, raw1, nst, jnp.bool_(True)))
 
     # per-lane output byte counts from the VALID record rows (rec flag
     # set, row live, and position at/after the lane's final entry)
@@ -589,18 +527,7 @@ def _decode_walk(stream, lutp, p0, zlib_len, *, nc_pad: int,
     # record-trim bound = last valid row (garbage prefixes are bounded
     # by _MEMB, so this tracks real token counts, not guess-walk lengths)
     steps = jnp.max((validr | dem) * (rowi + 1), axis=(2, 3))
-    if rmw_rows < ST8:
-        # RMW truncation sentinel: a re-walked lane still active at the
-        # row cap has incomplete records - steps > ST8 tells the driver
-        # to re-run with full rows.  (exit < bound iff the walk did not
-        # finish its chunk; nst == cap alone can be a legitimate stop.)
-        bound = jnp.minimum(starts + S_TPU, zl8)
-        nst_nc = nst.reshape(B, NC)
-        x_nc = _x.reshape(B, NC)
-        trunc = (nst_nc >= rmw_rows) & (x_nc < bound) & ~dead
-        steps = jnp.where(
-            jnp.any(trunc.reshape(B, ngr, LPI), axis=2), ST8 + 8, steps)
-    return posr, raw0, raw1, nst, e_fin, out0, steps, fix_passes
+    return posr, raw0, raw1, nst, e_fin, out0, steps, jnp.int32(1)
 
 
 def _divmod_const(x, d: int):
@@ -915,109 +842,6 @@ def _make_expand_kernel(P: int, c: int, w: int, wrows: int,
     return kernel
 
 
-def _make_expand8_kernel(P8: int, PB: int, c: int, w: int, tchunk: int):
-    """Fill + defilter over the byte raster + literal bitmap.
-
-    Input blocks: (1, 8*tchunk, P8) int32 data words (4 byte slots
-    each) and (1, 8*tchunk, PB) int32 bitmap words (1 flag bit per
-    slot).  The four byte sub-lattices fill via the same log-distance
-    scan as the 16-bit-slot kernel; the flag for data lane l, byte k
-    is bit 4*(l&7)+k of bitmap lane l>>3 (a within-vreg lane gather).
-    Output is the finished dense byte raster - the XLA tail is a
-    bitcast + prefix slice, with no stride-2 slot compaction.
-    """
-
-    def kernel(dep_ref, bmp_ref, out_ref, carry):
-        t = pl.program_id(1)
-
-        @pl.when(t == 0)
-        def _():
-            carry[...] = jnp.zeros_like(carry)
-
-        lane = jax.lax.broadcasted_iota(jnp.int32, (8, P8), 1)
-        gidx = lane >> 3
-        shbase = (lane & 7) << 2
-
-        def pull(v, hs, d):
-            if d == 0:
-                return v, hs
-            pv = pltpu.roll(v, d, 1)
-            ph = jnp.where(lane >= d, pltpu.roll(hs, d, 1), 0)
-            return pv, ph
-
-        prev = [carry[k:k + 1, :] for k in range(4)]
-        for t2 in range(tchunk):
-            wv = dep_ref[0, 8 * t2:8 * (t2 + 1), :]
-            bw = bmp_ref[0, 8 * t2:8 * (t2 + 1), :]
-            V = [(wv >> (8 * k)) & 0xFF for k in range(4)]
-            bwx = jnp.take_along_axis(bw, gidx, axis=1)
-            F = [(bwx >> (shbase + k)) & 1 for k in range(4)]
-
-            d = c
-            while d < 2 * w * c:  # cover the whole row chain
-                nV = []
-                nF = []
-                for k in range(4):
-                    ks = (k - d) % 4
-                    sh = (d + ks - k) >> 2
-                    pv, pf = pull(V[ks], F[ks], sh)
-                    nV.append(jnp.where(F[k] == 1, V[k],
-                                        jnp.where(pf == 1, pv, V[k])))
-                    nF.append(F[k] | pf)
-                V, F = nV, nF
-                d *= 2
-
-            # defilter: row r += defiltered row r-1 (mod 256 per byte)
-            outw = None
-            rows = [[], [], [], []]
-            for r in range(8):
-                for k in range(4):
-                    prev[k] = (V[k][r:r + 1, :] + prev[k]) & 0xFF
-                    rows[k].append(prev[k])
-            for k in range(4):
-                dk = jnp.concatenate(rows[k], axis=0)
-                outw = dk if outw is None else outw | (dk << (8 * k))
-            out_ref[0, 8 * t2:8 * (t2 + 1), :] = outw
-        for k in range(4):
-            carry[k:k + 1, :] = prev[k]
-
-    return kernel
-
-
-@functools.partial(
-    jax.jit, static_argnames=("h", "w", "c", "bpl_pad", "interpret"))
-def expand8_tpu(dep8, bmp, *, h: int, w: int, c: int, bpl_pad: int,
-                interpret: bool = False):
-    """(B, H8*bpl_pad/4) byte-raster words + (B, H8*bpl_pad/32) bitmap
-    words -> (B, h, w, c) uint8."""
-    B = dep8.shape[0]
-    P8 = bpl_pad // 4
-    PB = bpl_pad // 32
-    H8 = -(-h // 8) * 8
-    tchunk = 1 if interpret else max(1, min(H8 // 8, 8, 65536 // P8))
-    while (H8 // 8) % tchunk:
-        tchunk -= 1
-    out = pl.pallas_call(
-        _make_expand8_kernel(P8, PB, c, w, tchunk),
-        grid=(B, H8 // (8 * tchunk)),
-        in_specs=[
-            pl.BlockSpec((1, 8 * tchunk, P8), lambda b, t: (b, t, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8 * tchunk, PB), lambda b, t: (b, t, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, 8 * tchunk, P8), lambda b, t: (b, t, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, H8, P8), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((8, P8), jnp.int32)],
-        interpret=interpret,
-    )(dep8.reshape(B, H8, P8).astype(jnp.int32),
-      bmp.reshape(B, H8, PB).astype(jnp.int32))
-    bts = jax.lax.bitcast_convert_type(out, jnp.uint8) \
-        .reshape(B, H8, 4 * P8)[:, :h, :w * c]
-    return bts.reshape(B, h, w, c)
-
-
 @functools.partial(
     jax.jit, static_argnames=("h", "w", "c", "bpl_pad", "interpret"))
 def expand_tpu(dep, *, h: int, w: int, c: int, bpl_pad: int,
@@ -1107,19 +931,6 @@ def _decode_finish(posr, raw0, raw1, nst, e_fin, out0, zlib_len, *,
     H8 = -(-h // 8) * 8
     dep_words = H8 * (bpl_pad // 2) if use_kernel \
         else -(-(16 * (hbplp + 2)) // 32) + 1
-    if use_kernel and _DEP8:
-        # split deposit: byte raster + literal bitmap (halved window
-        # rows let a 2x group run one window walk each; the expand
-        # consumes both and emits the dense byte raster directly)
-        from .bitpack import scatter_bytes8_tpu
-
-        dep8, bmp = scatter_bytes8_tpu(
-            meta.reshape(B, n_rec), metb.reshape(B, n_rec),
-            H8 * (bpl_pad // 4), H8 * (bpl_pad // 32),
-            interpret=interpret)
-        imgs = expand8_tpu(dep8, bmp, h=h, w=w, c=c, bpl_pad=bpl_pad,
-                           interpret=interpret)
-        return imgs, ok
     if is_tpu_backend() or interpret:
         # packed records flow straight into the deposit kernel (values
         # and slot unpacked in VMEM - no staged rs/nbits/offset arrays);
@@ -1211,22 +1022,10 @@ def decode_kernel_tpu(stream, lutp, p0, zlib_len, *, h: int, w: int, c: int,
         # the bound stable
         return min(-(-max(smax, 8) // 16) * 16 if smax > 8 else 8, ST8)
 
-    def rewalk_full():
-        # an RMW re-walk hit the _RMW_ROWS cap (steps sentinel > ST8):
-        # some lane's records are incomplete - redo the walk with
-        # full-capacity RMW rows (rare: needs content deeper than the
-        # cap, i.e. > _RMW_ROWS tokens in one 512-bit chunk)
-        return _decode_walk(stream, lutp, p0, zlib_len, nc_pad=nc_pad,
-                            ncg_live=ncl // LPI, rmw_rows=ST8,
-                            interpret=interpret)
-
     key = (h, w, c, nc_pad)
     ent = _K8_CACHE.get(key)
     if ent is None:
         smax = int(_np.asarray(steps).max())
-        if smax > ST8:
-            posr, raw0, raw1, nst, e_fin, out0, steps, _fp = rewalk_full()
-            smax = int(_np.asarray(steps).max())
         k8 = trim(smax)
         _K8_CACHE[key] = [k8, 0]
         return _decode_finish(posr, raw0, raw1, nst, e_fin, out0,
@@ -1237,13 +1036,6 @@ def decode_kernel_tpu(stream, lutp, p0, zlib_len, *, h: int, w: int, c: int,
                          h=h, w=w, c=c, nc_pad=nc_pad, k8=k8, ncl=ncl,
                          interpret=interpret)
     smax = int(_np.asarray(steps).max())  # overlaps the finish dispatch
-    if smax > ST8:
-        posr, raw0, raw1, nst, e_fin, out0, steps, _fp = rewalk_full()
-        smax = int(_np.asarray(steps).max())
-        k8n = max(trim(smax), k8)
-        return _decode_finish(posr, raw0, raw1, nst, e_fin, out0,
-                              zlib_len, h=h, w=w, c=c, nc_pad=nc_pad,
-                              k8=k8n, ncl=ncl, interpret=interpret)
     if smax <= k8:
         # decay: after _K8_STALE consecutive batches that needed a
         # smaller bound, drop to the current batch's bound so one deep

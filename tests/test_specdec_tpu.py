@@ -153,18 +153,16 @@ def test_k8_cache_decays_after_deep_batch():
 
 
 def test_deep_chunk_checkerboard_roundtrip():
-    """Chunks deeper than the fixpoint's _RMW_ROWS re-walk cap.
+    """Very deep chunks (walks far past the typical record depth).
 
     A checkerboard defeats matching (every byte differs from its left
     neighbour) while 2-pass tables give its two delta symbols 1-2 bit
-    codes, so one 512-bit chunk holds ~170 walk steps - past the
-    128-row cap the RMW re-walk passes stream (specdec_tpu._RMW_ROWS).
-    On TPU a truncated re-walk must trip the steps sentinel and re-run
-    full-rows; here (interpret forces full rows) it guards the deep
-    record-trim path (k8 > _RMW_ROWS) end to end.
+    codes, so one 512-bit chunk holds ~170 walk steps - several trim
+    granules past the photo corpus's p99 (~65) - guarding the deep
+    record-trim path (large k8) end to end.
     """
     from fpng_tpu import constants as C
-    from fpng_tpu.ops.specdec_tpu import _RMW_ROWS, _decode_walk
+    from fpng_tpu.ops.specdec_tpu import _decode_walk
 
     h = w = 64
     y, x = np.mgrid[0:h, 0:w]
@@ -175,7 +173,7 @@ def test_deep_chunk_checkerboard_roundtrip():
     steps = np.asarray(_decode_walk(
         jnp.asarray(stream), jnp.asarray(luts), jnp.asarray(p0),
         jnp.asarray(zl), nc_pad=plan_tpu(nb), interpret=True)[6])
-    assert steps.max() > _RMW_ROWS  # the vector really is deep
+    assert steps.max() > 128  # the vector really is deep
     di, ok = _dec(stream, luts, p0, zl, nb, (h, w, 3))
     assert bool(np.asarray(ok).all())
     assert np.array_equal(np.asarray(di), imgs)

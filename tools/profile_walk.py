@@ -41,7 +41,7 @@ def main():
     from fpng_tpu.ops.specdec import pack_lut
     from fpng_tpu.ops.specdec_tpu import (LPI, S_TPU, _decode_walk,
                                           _lane_tiles, _prep_w24_tiles,
-                                          plan_tpu, walk_pass_tpu)
+                                          plan_tpu, walk_fix_tpu)
 
     imgs = corpus(size, B)
     H = W = size
@@ -71,9 +71,6 @@ def main():
     zl8 = (zl * 8).reshape(B, 1)
     zl8j = jnp.asarray(zl8)
     lutp4 = lj.astype(jnp.uint32).reshape(B, 4, 8, 128).astype(jnp.int32)
-    starts = (np.arange(NC, dtype=np.int32) * S_TPU)[None, :]
-    e0 = np.broadcast_to(starts, (B, NC)).copy()
-    e0[:, 0] = p0
     ngr = NC // LPI
 
     @jax.jit
@@ -85,14 +82,11 @@ def main():
     print(f"w24 prep : {t*1e3:7.1f}ms")
     w24r = jax.device_put(prep(sj))
 
-    p0f = functools.partial(walk_pass_tpu, ng=ngr, lpi=LPI)
-    e0j = jnp.asarray(e0.reshape(B, ngr, 1, LPI))
-    t = chain(p0f, w24r, lutp4, e0j, zl8j)
-    print(f"pass0    : {t*1e3:7.1f}ms")
+    kf = functools.partial(walk_fix_tpu, ng=ngr, lpi=LPI)
+    t = chain(kf, w24r, lutp4, pj, zl8j)
+    print(f"kernel   : {t*1e3:7.1f}ms  (walk + in-kernel fixpoint)")
 
     wf = functools.partial(_decode_walk, nc_pad=nc_pad)
-    out = wf(sj, lj, pj, zj)
-    print(f"fix passes: {int(np.asarray(out[7]))}")
     t = chain(wf, sj, lj, pj, zj)
     print(f"full walk: {t*1e3:7.1f}ms")
 

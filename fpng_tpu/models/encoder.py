@@ -350,6 +350,55 @@ def _finish_batch(images, words, total_bits, last_tok, adler, prefixes,
     ]
 
 
+_assemble_arena_jit = None
+
+
+def launch_arena(words, total_bits, adler, prefixes, W, H, Cc):
+    """Issue the device container-assembly kernel (ops/assemble.py).
+
+    Returns (arena, png_lens) device arrays; pure launch, no sync."""
+    global _assemble_arena_jit
+    from ..container import build_header
+    from ..ops.assemble import PREFIX_PAD, assemble_arena
+
+    if _assemble_arena_jit is None:
+        _assemble_arena_jit = jax.jit(assemble_arena)
+    B = words.shape[0]
+    pref = np.zeros((B, PREFIX_PAD), np.uint8)
+    plens = np.zeros(B, np.int32)
+    if len(prefixes) == B and all(p is prefixes[0] for p in prefixes):
+        p0 = np.frombuffer(prefixes[0], np.uint8)
+        pref[:, :len(p0)] = p0[None, :]
+        plens[:] = len(p0)
+    else:
+        for b, p in enumerate(prefixes):
+            pref[b, :len(p)] = np.frombuffer(p, np.uint8)
+            plens[b] = len(p)
+    hdr50 = np.frombuffer(build_header(0, W, H, Cc)[:50], np.uint8)
+    return _assemble_arena_jit(words, total_bits, adler,
+                               jnp.asarray(pref), jnp.asarray(plens),
+                               jnp.asarray(hdr50))
+
+
+def _finish_batch_arena(images, arena, png_lens, total_bits, last_tok,
+                        plens, budget) -> list[bytes]:
+    """Slice device-assembled PNGs; stored fallback where the budget rule
+    fired (fpng.cpp:1728-1758 semantics, same predicate as _assemble)."""
+    B = images.shape[0]
+    arena = np.asarray(arena)
+    png_lens = np.asarray(png_lens)
+    total_bits = np.asarray(total_bits)
+    last_tok = np.asarray(last_tok)
+    total_bytes = (total_bits.astype(np.int64) + 7) >> 3
+    fail = ((last_tok >= 0) & ((last_tok >> 3) + 8 > budget)) | \
+        (total_bytes + 4 > budget) | (np.asarray(plens) > budget)
+    return [
+        _stored_png(images[b]) if fail[b]
+        else arena[b, :png_lens[b]].tobytes()
+        for b in range(B)
+    ]
+
+
 def encode_batch_stream(batches, flags: int = 0):
     """Pipelined multi-batch encode: yields one list[bytes] per input
     batch, in order.
@@ -388,19 +437,28 @@ def encode_batch_stream(batches, flags: int = 0):
             jnp.asarray(pv), jnp.asarray(pn), num_chans=Cc,
             cost_check=cost_check, want_hist=False, num_words=num_words)
         words, total_bits, last_tok, adler, _ = out
-        for a in (words, total_bits, last_tok, adler):
+        if _use_device_assembly():
+            arena, png_lens = launch_arena(words, total_bits, adler,
+                                           prefixes, W, H, Cc)
+            handles = ("arena", arena, png_lens, total_bits, last_tok,
+                       [len(p) for p in prefixes])
+        else:
+            handles = ("words", words, total_bits, last_tok, adler,
+                       prefixes)
+        for a in handles[1:5]:
             try:
                 a.copy_to_host_async()
             except AttributeError:  # older jax Array types
                 break
-        return (images, (words, total_bits, last_tok, adler), prefixes,
-                budget)
+        return (images, handles, prefixes, budget)
 
     def finish(launched):
-        images, outs, prefixes, budget = launched
-        if outs is None:
+        images, handles, prefixes, budget = launched
+        if handles is None:
             return [_stored_png(images[b]) for b in range(images.shape[0])]
-        return _finish_batch(images, *outs, prefixes, budget)
+        if handles[0] == "arena":
+            return _finish_batch_arena(images, *handles[1:], budget)
+        return _finish_batch(images, *handles[1:], budget)
 
     pending = None
     for batch in batches:
@@ -443,5 +501,17 @@ def encode_batch_device_input(dev_imgs, images: np.ndarray,
         jnp.asarray(base_bits), jnp.asarray(pend_val), jnp.asarray(pend_n),
         num_chans=Cc, cost_check=cost_check, want_hist=False,
         num_words=num_words)
+    if _use_device_assembly():
+        arena, png_lens = launch_arena(words, total_bits, adler, prefixes,
+                                       W, H, Cc)
+        return _finish_batch_arena(
+            images, arena, png_lens, total_bits, last_tok,
+            [len(p) for p in prefixes], budget)
     return _finish_batch(images, words, total_bits, last_tok, adler,
                          prefixes, budget)
+
+
+def _use_device_assembly() -> bool:
+    import os
+
+    return os.environ.get("FPNG_TPU_HOST_ASSEMBLY", "0") != "1"

@@ -160,12 +160,12 @@ def _position_bit_table(chunk: int) -> np.ndarray:
     return bit
 
 
-def crc32_bytes(data: jnp.ndarray) -> jnp.ndarray:
-    """Standard CRC-32 of each row of a (B, N) uint8 array -> (B,) uint32.
+def crc32_raw(data: jnp.ndarray) -> jnp.ndarray:
+    """Init-0 CRC register ("raw") of each row of a (B, N) byte array.
 
-    crc(msg) = raw(msg) ^ shift_N(0xFFFFFFFF) ^ 0xFFFFFFFF, where raw() is
-    the init-0 register; leading zero bytes are raw-neutral so chunks are
-    front-aligned by zero padding.
+    raw() is GF(2)-linear in the message and leading zero bytes are
+    raw-neutral, so chunks are front-aligned by zero padding and combined
+    with shift matrices in a log-depth tree.
     """
     B, N = data.shape
     L = _CRC_CHUNK
@@ -191,6 +191,95 @@ def crc32_bytes(data: jnp.ndarray) -> jnp.ndarray:
         acc = _apply_shift_device(left, _shift_matrix(span)) ^ right
         span *= 2
         K //= 2
+    return acc[:, 0]
 
+
+def crc32_bytes(data: jnp.ndarray) -> jnp.ndarray:
+    """Standard CRC-32 of each row of a (B, N) uint8 array -> (B,) uint32.
+
+    crc(msg) = raw(msg) ^ shift_N(0xFFFFFFFF) ^ 0xFFFFFFFF, where raw() is
+    the init-0 register.
+    """
+    N = data.shape[1]
     init = _shift_crc(N, 0xFFFFFFFF)
-    return acc[:, 0] ^ jnp.uint32(init) ^ jnp.uint32(0xFFFFFFFF)
+    return crc32_raw(data) ^ jnp.uint32(init) ^ jnp.uint32(0xFFFFFFFF)
+
+
+# --- variable-length CRC finalization (device-side container assembly) ----
+#
+# A batch shares one padded buffer length N but each image's message ends at
+# its own byte offset.  With trailing zeros, raw(msg || 0^k) = shift_k(raw),
+# and the byte-shift map is invertible over GF(2), so the true crc comes from
+# ONE per-image variable inverse shift:
+#   crc_b = invshift_{k_b}( raw(X_b) ^ shift_N(0xFFFFFFFF) ) ^ 0xFFFFFFFF
+# where k_b = N - len_b.  (shift_len(init) = invshift_k(shift_N(init)).)
+
+
+@functools.lru_cache(maxsize=None)
+def _inv_shift1_matrix() -> tuple:
+    """GF(2) inverse of the shift-by-one-byte matrix (basis images)."""
+    fwd = _shift1_matrix()
+    # Gauss-Jordan over GF(2): rows are bit positions, columns packed in
+    # uint32s.  aug[i] = (fwd column space | identity).
+    a = [fwd[b] for b in range(32)]          # a[b] = image of basis vec b
+    inv = [1 << b for b in range(32)]        # identity
+    # Solve M * x = e_i for each i; represent M columns = a[b].
+    # Build 32x32 bit matrix rows: row r bit b = (a[b] >> r) & 1.
+    rows = []
+    for r in range(32):
+        v = 0
+        for b in range(32):
+            v |= ((a[b] >> r) & 1) << b
+        rows.append(v)
+    eye = [1 << r for r in range(32)]
+    for col in range(32):
+        piv = next(r for r in range(col, 32) if (rows[r] >> col) & 1)
+        rows[col], rows[piv] = rows[piv], rows[col]
+        eye[col], eye[piv] = eye[piv], eye[col]
+        for r in range(32):
+            if r != col and (rows[r] >> col) & 1:
+                rows[r] ^= rows[col]
+                eye[r] ^= eye[col]
+    # eye now holds M^{-1} in row form: bit b of eye[r] = M^{-1}[r, b].
+    out = []
+    for b in range(32):  # basis image of e_b under M^{-1}
+        v = 0
+        for r in range(32):
+            v |= ((eye[r] >> b) & 1) << r
+        out.append(v)
+    return tuple(out)
+
+
+@functools.lru_cache(maxsize=None)
+def _inv_shift_pow2_matrix(t: int) -> tuple:
+    """Matrix REVERSING a CRC register through 2^t zero bytes."""
+    if t == 0:
+        return _inv_shift1_matrix()
+    m = _inv_shift_pow2_matrix(t - 1)
+    return _gf2_compose(m, m)
+
+
+def crc32_var_unshift(raw: jnp.ndarray, k: jnp.ndarray,
+                      max_k: int) -> jnp.ndarray:
+    """Reverse each raw register through k[b] (< max_k) zero bytes."""
+    nbits = max(int(max_k).bit_length(), 1)
+    k = jnp.maximum(k, 0).astype(jnp.uint32)
+    bits32 = jnp.arange(32, dtype=jnp.uint32)
+    for t in range(nbits):
+        m = jnp.asarray(np.array(_inv_shift_pow2_matrix(t), np.uint32))
+        rbits = (raw[:, None] >> bits32[None, :]) & jnp.uint32(1)  # (B, 32)
+        shifted = jax.lax.reduce(rbits * m[None, :], np.uint32(0),
+                                 jax.lax.bitwise_xor, (1,))
+        raw = jnp.where(((k >> t) & 1).astype(bool), shifted, raw)
+    return raw
+
+
+def crc32_bytes_var(data: jnp.ndarray, lens: jnp.ndarray) -> jnp.ndarray:
+    """CRC-32 of data[b, :lens[b]] for each row; bytes at idx >= lens[b]
+    MUST already be zero (the caller masks them)."""
+    B, N = data.shape
+    raw = crc32_raw(data)
+    init_n = _shift_crc(N, 0xFFFFFFFF)
+    k = jnp.int32(N) - lens.astype(jnp.int32)
+    out = crc32_var_unshift(raw ^ jnp.uint32(init_n), k, N)
+    return out ^ jnp.uint32(0xFFFFFFFF)

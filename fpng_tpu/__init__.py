@@ -39,6 +39,22 @@ from .container import get_info as fpng_get_info  # noqa: F401
 __version__ = "0.1.0"
 
 _initialized = False
+_fallback_warned: set = set()
+
+
+def _warn_fallback(api: str, exc: Exception) -> None:
+    """One-time-per-API stderr notice when a device-path failure reroutes
+    to the scalar golden model: the result stays correct but runs at a
+    tiny fraction of device speed, which must not regress silently."""
+    if api in _fallback_warned:
+        return
+    _fallback_warned.add(api)
+    import sys
+
+    print(f"fpng_tpu: {api} device path failed ({type(exc).__name__}: "
+          f"{str(exc)[:160]}); falling back to the scalar golden model "
+          f"(correct but slow; further notices suppressed)",
+          file=sys.stderr)
 
 
 def fpng_init() -> None:
@@ -63,7 +79,8 @@ def fpng_encode_image_to_memory(image, w: int, h: int, num_chans: int,
         return encode_batch(img[None], flags)[0]
     except ValueError:
         return None
-    except Exception:  # noqa: BLE001 - no device/jit: scalar fallback
+    except Exception as e:  # noqa: BLE001 - no device/jit: scalar fallback
+        _warn_fallback("fpng_encode_image_to_memory", e)
         from . import golden
         return golden.encode_image_to_memory(image, w, h, num_chans, flags)
 
@@ -90,7 +107,8 @@ def fpng_decode_memory(data: bytes, desired_channels: int = 4):
         from .models.decoder import decode_batch as _impl
         statuses, images, infos = _impl([bytes(data)], desired_channels,
                                         with_info=True)
-    except Exception:  # noqa: BLE001 - no device/jit: scalar fallback
+    except Exception as e:  # noqa: BLE001 - no device/jit: scalar fallback
+        _warn_fallback("fpng_decode_memory", e)
         from . import golden
         return golden.decode_memory(data, desired_channels)
     w, h, ch = infos[0]

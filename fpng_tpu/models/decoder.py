@@ -109,6 +109,14 @@ def decode_batch(pngs: list[bytes], desired_channels: int = 4,
     return statuses, images
 
 
+def _use_walk8() -> bool:
+    """PK=8 packed-lane walk (ops/walk8.py): default on; PK=1 remains
+    the worst-case-complete fallback."""
+    import os
+
+    return os.environ.get("FPNG_TPU_WALK8", "1") != "0"
+
+
 def _decode_launch(pngs: list[bytes], desired_channels: int):
     """Stage 1 of the pipelined decode: host container/header parse +
     device kernel dispatch.  Returns opaque state for _decode_finish_host;
@@ -128,6 +136,10 @@ def _decode_launch(pngs: list[bytes], desired_channels: int):
         status, w, h, ch, src, p0, zlib_len, lut = m
         if status != C.FPNG_DECODE_SUCCESS:
             statuses[i] = status
+            continue
+        if w * h * desired_channels > 0xFFFFFFFF:
+            # output allocation guard (fpng.cpp:3103-3111)
+            statuses[i] = C.FPNG_DECODE_FAILED_DIMENSIONS_TOO_LARGE
             continue
         if lut is None:
             img = decode_stored(src, zlib_len, w, h, ch)
@@ -161,11 +173,25 @@ def _decode_launch(pngs: list[bytes], desired_channels: int):
         use_walk = is_tpu_backend() and h * _bpl_pad(w * ch) < (1 << 23)
         if use_walk:
             try:
-                imgs, ok = decode_kernel_tpu(
-                    jnp.asarray(stream), jnp.asarray(luts),
-                    jnp.asarray(p0), jnp.asarray(zl), h=h, w=w, c=ch,
-                    nc_pad=plan_tpu(int(zl.max())),
-                    zlib_len_max=int(zl.max()))
+                sj, lj = jnp.asarray(stream), jnp.asarray(luts)
+                pj, zj = jnp.asarray(p0), jnp.asarray(zl)
+                zmax = int(zl.max())
+                out8 = None
+                if _use_walk8():
+                    from ..ops.walk8 import decode_kernel8_tpu, plan_tpu8
+
+                    nc8, lpi = plan_tpu8(zmax)
+                    # None = capacity overflow (sub-2-bit/token stream):
+                    # the PK=1 kernel below covers the full worst case
+                    out8 = decode_kernel8_tpu(
+                        sj, lj, pj, zj, h=h, w=w, c=ch, nc_pad=nc8,
+                        lpi=lpi, zlib_len_max=zmax)
+                if out8 is not None:
+                    imgs, ok = out8
+                else:
+                    imgs, ok = decode_kernel_tpu(
+                        sj, lj, pj, zj, h=h, w=w, c=ch,
+                        nc_pad=plan_tpu(zmax), zlib_len_max=zmax)
                 overflow = None
             except Exception as e:  # pragma: no cover - device-specific
                 # a Mosaic/backend failure of the walk path must degrade

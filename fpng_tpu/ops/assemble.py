@@ -49,7 +49,7 @@ def assemble_arena(words, total_bits, adler, prefix_u8, plens, hdr50_u8):
     prefix_u8: (B, P)  zero-padded serialized header prefixes
     plens:     (B,)    true prefix byte lengths
     hdr50_u8:  (50,)   batch-constant container header bytes
-    Returns (arena (B, 58 + 4*NW) uint8, png_lens (B,) int32).  Images that
+    Returns (arena (B, 78 + 4*NW) uint8, png_lens (B,) int32).  Images that
     need the stored-block fallback (budget overflow) produce garbage arenas;
     the caller decides via (total_bits, last_tok) exactly like the host
     assembler (fpng.cpp:1728-1758) and replaces those entries.
@@ -70,6 +70,13 @@ def assemble_arena(words, total_bits, adler, prefix_u8, plens, hdr50_u8):
                      < plens.astype(jnp.int32)[:, None],
                      prefix_u8[:, :pe].astype(jnp.int32), body[:, :pe])
     body = jnp.concatenate([head, body[:, pe:]], axis=1)
+
+    # The 20-byte tail lands at [tb, tb+20); tb can reach budget-4 while
+    # N = budget+14 (num_words rounds budget//4 down, budget = 6 mod 8), so
+    # without padding the last 1-2 IEND bytes would be clipped off the
+    # arena.  Pad the body so the tail always fits.
+    body = jnp.concatenate([body, jnp.zeros((B, 20), jnp.int32)], axis=1)
+    N = N + 20
 
     # mask tail + deposit the 20 trailing bytes (adler, crc placeholder 0,
     # IEND) at the per-image offset in one clipped gather

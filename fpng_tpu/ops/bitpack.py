@@ -69,7 +69,7 @@ _WROWS = _WL // 128
 
 def _window_deposit(vals, offs, idxv, wl_words, out_ref, pending, prevr,
                     base0=None, vals_hi=None, skip_empty=False,
-                    pair16=False, nb_lo=4, nb_hi=None):
+                    pair16=False, nb_lo=4, nb_hi=None, i8=False):
     """Deposit one flat (_U,) sub-tile of (uint32 value, bit offset) units
     into out_ref through the carried window (pending/prevr scratch).
 
@@ -84,6 +84,16 @@ def _window_deposit(vals, offs, idxv, wl_words, out_ref, pending, prevr,
     scatter runs 6 planes instead of 8 - fewer matmul M rows, which is
     what bounds how large a window (and so how few scalar-taxed window
     walks) a group can use.
+
+    i8 runs the scatter matmuls in int8 (s8 x s8 -> s32, ~2x the MXU's
+    bf16 rate and half the masked-plane build bytes).  Byte planes hold
+    0..255, outside s8's range, so planes carry (byte - 128) and one
+    extra count plane per window row restores the offset after the dot:
+    out = dot + 128 * cnt is exact because the correction is linear and
+    every unit's count contribution rides the same mask/one-hot as its
+    value planes (dead/fill units - value 0, possibly sharing a clamped
+    slot - contribute (0-128)+128 = 0 net, and no live slot is ever
+    written by more than one unit).
 
     wl_words sets the window geometry (word width / row count) so callers
     can trade scatter width against window-walk iterations; the pending
@@ -126,10 +136,16 @@ def _window_deposit(vals, offs, idxv, wl_words, out_ref, pending, prevr,
         mlo = jnp.where(in_win, lo, 0)
         mhi = jnp.where(in_win, hi, 0)
 
+        # i8 mode builds/masks planes in int32 (Mosaic has no elementwise
+        # s8 arithmetic) and converts to s8 only at the matmul operand
+        mmt = jnp.int32 if i8 else jnp.bfloat16
+
         def byte_planes(v, nb=4):
-            return jnp.stack(
-                [(v >> (8 * j)) & 0xFF for j in range(nb)]) \
-                .astype(jnp.int32).astype(jnp.bfloat16)
+            p = [((v >> (8 * j)) & 0xFF).astype(jnp.int32)
+                 for j in range(nb)]
+            if i8:  # s8 range shift; the count plane restores it
+                p = [x - 128 for x in p]
+            return jnp.stack(p).astype(mmt)
         # plane groups: (byte rows, word shift) per contributing word;
         # callers whose values/alignments bound which bytes can be
         # nonzero trim the plane count (fewer matmul M rows)
@@ -139,6 +155,11 @@ def _window_deposit(vals, offs, idxv, wl_words, out_ref, pending, prevr,
         if top is not None:
             groups.append((byte_planes(jnp.where(in_win, top, 0)), 4, 2))
         planes = jnp.concatenate([g[0] for g in groups])
+        if i8:
+            # count plane: 1 per unit, same row mask / one-hot as the
+            # value planes; corrects the -128 shift after the dot
+            planes = jnp.concatenate(
+                [planes, jnp.full(planes.shape[1:], 1, mmt)[None]])
 
         # Row-factored one-hot: building a full (group, wl) one-hot costs
         # ~2*g*wl vector ops - more than the matmul's MXU time.  The
@@ -151,7 +172,10 @@ def _window_deposit(vals, offs, idxv, wl_words, out_ref, pending, prevr,
         # broadcast an i1 minor dim): masked units match no column
         c_u = jnp.where(wl_m >= 0, wl_m & 127, -1)
         r_u = wl_m >> 7
-        ohc = (cols128 == c_u[:, None]).astype(jnp.bfloat16)
+        if i8:
+            ohc = jnp.where(cols128 == c_u[:, None], 1, 0).astype(jnp.int8)
+        else:
+            ohc = (cols128 == c_u[:, None]).astype(jnp.bfloat16)
         P = planes.shape[0]
         # chunked stacking: wrows skinny (P, group) matmuls each pad M to
         # the MXU's 128 rows, so fuse as many rows per matmul as fit -
@@ -159,15 +183,33 @@ def _window_deposit(vals, offs, idxv, wl_words, out_ref, pending, prevr,
         nmm = -(-(wrows * P) // 128)
         chunk = -(-wrows // nmm)
         rows_m = []
+        abl = _os.environ.get("FPNG_TPU_DEP_ABL", "")  # profiling only
         for r0 in range(0, wrows, chunk):
             rs = range(r0, min(r0 + chunk, wrows))
-            big = jnp.concatenate(
-                [planes * (r_u == r)[None, :].astype(jnp.bfloat16)
-                 for r in rs], axis=0)
-            allr = jnp.dot(big, ohc,
-                           preferred_element_type=jnp.float32) \
-                .astype(jnp.int32)
+            if abl == "nobuild":  # skip the row masking (wrong results)
+                big = jnp.concatenate([planes for _ in rs], axis=0)
+            else:
+                big = jnp.concatenate(
+                    [planes * (r_u == r)[None, :].astype(mmt)
+                     for r in rs], axis=0)
+            if abl == "nomxu":  # skip the dot (wrong results)
+                allr = big[:, :128].astype(jnp.int32)
+            elif i8:
+                allr = jnp.dot(big.astype(jnp.int8), ohc,
+                               preferred_element_type=jnp.int32)
+            else:
+                allr = jnp.dot(big, ohc,
+                               preferred_element_type=jnp.float32) \
+                    .astype(jnp.int32)
             rows_m += [allr[i * P:(i + 1) * P] for i in range(len(rs))]
+
+        def grp(r, base, nb):
+            """Group rows of window row r, i8 shift-corrected."""
+            g = rows_m[r][base:base + nb]
+            if i8:
+                g = g + (rows_m[r][P - 1:P] << 7)
+            return g
+
         lane = jax.lax.broadcasted_iota(jnp.int32, (4, 128), 1)
         zrow = None
         win_rows = []
@@ -175,7 +217,7 @@ def _window_deposit(vals, offs, idxv, wl_words, out_ref, pending, prevr,
             ws = None
             base = 0
             for arr, nb, shw in groups:
-                cur = rows_m[r][base:base + nb]
+                cur = grp(r, base, nb)
                 if nb < 4:
                     if zrow is None:
                         zrow = jnp.zeros((4 - nb, 128), jnp.int32)
@@ -185,8 +227,8 @@ def _window_deposit(vals, offs, idxv, wl_words, out_ref, pending, prevr,
                 else:
                     # bytes land shw words later; the first shw words of
                     # a row take the previous row's tail carry
-                    prev = rows_m[r - 1][base:base + nb] if r \
-                        else jnp.zeros_like(rows_m[0][base:base + nb])
+                    prev = grp(r - 1, base, nb) if r \
+                        else jnp.zeros_like(cur[:nb])
                     if nb < 4:
                         prev = jnp.concatenate([prev, zrow])
                     contrib = jnp.where(lane > shw - 1,
@@ -239,7 +281,8 @@ def _flat_idx():
 
 
 def _make_deposit_kernel(group: int, wl: int, zero_init: bool,
-                         packed16: bool = False, sub: int = _SUB):
+                         packed16: bool = False, sub: int = _SUB,
+                         i8: bool = False):
     """Deposit kernel over `group`-unit window walks with wl-word windows.
 
     Bigger groups amortize the per-walk fixed cost (scalar window scan,
@@ -300,7 +343,7 @@ def _make_deposit_kernel(group: int, wl: int, zero_init: bool,
             _window_deposit(vals, offs, idxv, wl, out_ref, pending,
                             prevr, base0=base0,
                             skip_empty=bool(packed16),
-                            pair16=bool(packed16))
+                            pair16=bool(packed16), i8=i8)
 
     return kernel
 
@@ -363,13 +406,15 @@ def scatter_bits_tpu(vals: jnp.ndarray, nbits: jnp.ndarray,
 
 @functools.partial(jax.jit,
                    static_argnames=("num_words", "interpret", "group",
-                                    "wl", "sub"))
+                                    "wl", "sub", "i8"))
 def scatter_packed16_tpu(meta: jnp.ndarray, num_words: int,
                          metb: jnp.ndarray | None = None,
                          interpret: bool = False,
                          group: int = 4096, wl: int = 2176,
                          sub: int = int(_os.environ.get(
-                             "FPNG_TPU_DEP_SUB", str(_SUB)))) -> jnp.ndarray:
+                             "FPNG_TPU_DEP_SUB", str(_SUB))),
+                         i8: bool = _os.environ.get(
+                             "FPNG_TPU_DEP_I8", "1") != "0") -> jnp.ndarray:
     """Deposit (B, N) packed records - (value9 << 23) | slot23 int32,
     16-bit units at bit offset slot*16, monotone slots - into
     (B, num_words) uint32 words.  Always zero-initialized (the record
@@ -405,7 +450,8 @@ def scatter_packed16_tpu(meta: jnp.ndarray, num_words: int,
         args.append(metb.astype(jnp.int32).reshape(B, T, sub8, 128))
         mode = "pair"
     out = pl.pallas_call(
-        _make_deposit_kernel(group, wl, True, packed16=mode, sub=sub),
+        _make_deposit_kernel(group, wl, True, packed16=mode, sub=sub,
+                             i8=i8),
         grid=(B, T),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, rows, 128), lambda b, t: (b, 0, 0),

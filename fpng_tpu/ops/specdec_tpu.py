@@ -295,6 +295,13 @@ def _walk_body(g, zl8_ref, w24_ref, lut_ref, efin_ref, posr_ref,
                            lane_bit0)
     walk(jnp.full((8, LPI), True), first=True)
 
+    if _os.environ.get("FPNG_TPU_WALK_ABL") == "nofix":
+        # profiling only: skip the entry fixpoint (wrong results)
+        efin_ref[0, 0, 0, :] = ent_s[0, :]
+        carry_s[0] = jnp.max(jnp.where(col[0:1] == LPI - 1,
+                                       exit_s[0:1, :], -_INF))
+        return
+
     def fix_body(st):
         it, _chg = st
         prev_exit = pltpu.roll(exit_s[...], 1, 1)

@@ -50,12 +50,17 @@ def test_arena_equals_build_png_directly():
     from fpng_tpu.models.encoder import launch_arena
 
     rng = np.random.default_rng(3)
-    B, W, H, Cc = 4, 9, 7, 3
+    B, W, H, Cc = 6, 9, 7, 3
     NW = 64
     words = rng.integers(0, 2**32, (B, NW), np.uint64).astype(np.uint32)
     prefixes = [bytes(rng.integers(0, 256, rng.integers(5, 60), np.uint8).tolist())
                 for _ in range(B)]
-    tbytes = np.array([31, 200, NW * 4 - 20, 100], np.int64)
+    # NW*4-18 = budget-4 is the real encoder's max payload (regression:
+    # the 20-byte tail used to clip 2 bytes off IEND there); NW*4 is the
+    # absolute arena edge.  All >= 60 so prefixes fit inside the payload
+    # (true of real streams: total_bits covers the prefix).
+    tbytes = np.array([61, 200, NW * 4 - 20, 100, NW * 4 - 18, NW * 4],
+                      np.int64)
     adler = rng.integers(0, 2**32, B, np.uint64).astype(np.uint32)
     # zero the partial high bits like the encode kernel guarantees
     total_bits = tbytes * 8

@@ -122,3 +122,22 @@ def test_crc_check_disable_env(monkeypatch):
     assert np.array_equal(out, img)
     sts, outs = F.decode_batch([bytes(png)], 3)
     assert sts[0] == C.FPNG_DECODE_SUCCESS
+
+
+def test_decode_dims_too_large_guard(rng):
+    """w*h*desired > 2^32 must return DIMENSIONS_TOO_LARGE from BOTH the
+    scalar API and the batched driver (fpng.cpp:3103-3111): the batched
+    path must refuse before attempting the allocation."""
+    png, _ = _png(rng, h=8, w=8)
+    # rewrite IHDR dims to 32768x32768: w*h = 2^30 passes the container
+    # pixel limit (MAX_TOTAL_PIXELS_DECODE) but *4 = 2^32 > UINT32_MAX,
+    # so the output-allocation guard must fire; fix the IHDR CRC
+    big = bytearray(png)
+    big[16:24] = struct.pack(">II", 32768, 32768)
+    big[29:33] = struct.pack(">I", zlib.crc32(bytes(big[12:29])))
+    big = bytes(big)
+    st, img, w, h, ch = golden.decode_memory(big, 4)
+    assert st == C.FPNG_DECODE_FAILED_DIMENSIONS_TOO_LARGE
+    sts, imgs = F.decode_batch([big], 4)
+    assert sts[0] == C.FPNG_DECODE_FAILED_DIMENSIONS_TOO_LARGE
+    assert imgs[0] is None

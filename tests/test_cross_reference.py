@@ -74,6 +74,27 @@ def test_one_pass_sizes_comparable(reflib, images):
     assert ours_total < theirs_total * 1.05, (ours_total, theirs_total)
 
 
+@pytest.mark.parametrize("c", [3, 4])
+def test_one_pass_sizes_within_1pct_real_corpus(reflib, c):
+    """North-star gate: 1-pass compressed sizes within +-1% of the
+    reference on REAL photographic content (BASELINE.json; the
+    reference's published per-corpus sizes, README.md:19-43).  2-pass is
+    byte-exact (test_two_pass_byte_exact), so only 1-pass - where our
+    trained tables differ from fpng.cpp:532-562's - needs the band."""
+    from fpng_tpu.train import real_corpus
+
+    tiles = list(real_corpus(c, 128))
+    if not tiles:
+        pytest.skip("example.png fixture unavailable")
+    ours = theirs = 0
+    for t in tiles:
+        h, w, _ = t.shape
+        ours += len(_streams_for(t, 0))
+        theirs += len(reflib.encode(t, 0))
+    assert abs(ours - theirs) <= 0.01 * theirs, \
+        (c, ours, theirs, ours / theirs)
+
+
 def test_lodepng_accepts_ours(reflib, images):
     for img in images[::3]:
         h, w, c = img.shape

@@ -55,7 +55,10 @@ def dep(meta, metb):
 t = chain(dep, meta, metb)
 print(f"deposit   : {t*1e3:7.1f}ms  N={meta.shape[1]}")
 
-for grp, wl in ((2048, 1152), (4096, 2176), (8192, 4224), (16384, 8448)):
+sweep = os.environ.get("FPNG_TPU_DEP_SWEEP", "")
+geoms = ((2048, 1152), (4096, 2176), (8192, 4224), (16384, 8448)) \
+    if sweep else ()
+for grp, wl in geoms:
     @jax.jit
     def dep2(meta, metb, grp=grp, wl=wl):
         return scatter_packed16_tpu(meta, dep_words, metb=metb,

@@ -113,8 +113,9 @@ def main():
     allf = functools.partial(decode_kernel_tpu, h=H, w=W, c=Cc,
                              nc_pad=nc_pad, zlib_len_max=int(zl.max()))
     di, ok = allf(sj, lj, pj, zj)
-    assert bool(np.asarray(ok).all())
-    assert np.array_equal(np.asarray(di), imgs)
+    if not os.environ.get("FPNG_TPU_WALK_ABL"):  # ablations break results
+        assert bool(np.asarray(ok).all())
+        assert np.array_equal(np.asarray(di), imgs)
     t = chain(allf, sj, lj, pj, zj)
     print(f"dec all  : {t*1e3:7.1f}ms  {mpix/t:7.0f} MP/s")
     walkf = functools.partial(_decode_walk, nc_pad=nc_pad)

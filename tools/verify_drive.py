@@ -111,9 +111,16 @@ def main():
             if wuffs is not None:
                 wst, wimg = wuffs.wuffs_decode(png)
                 ok_wf = (wst == 0 and np.array_equal(wimg, exp4))
-            if not (ok_z and ok_ref and ok_lp and ok_wf):
+            # pngcheck-class structural validation (chunk grammar,
+            # ordering, CRCs, scanline structure - reference README.md:81)
+            from fpng_tpu.utils.pngcheck import check as png_check
+
+            violations = png_check(png)
+            if not (ok_z and ok_ref and ok_lp and ok_wf and
+                    not violations):
                 print(f"FAIL {name}[{i}]: zlib={ok_z} ref={ok_ref} "
-                      f"lodepng={ok_lp} wuffs={ok_wf}")
+                      f"lodepng={ok_lp} wuffs={ok_wf} "
+                      f"pngcheck={violations or 'ok'}")
                 failures += 1
         # reference size comparison on same tiles
         ref_sizes = [len(ref.encode(img, flags)) for img in tiles]

@@ -86,8 +86,12 @@ def assemble_arena(words, total_bits, adler, prefix_u8, plens, hdr50_u8):
     tail20 = jnp.concatenate(
         [adler_b, jnp.zeros((B, 4), jnp.int32),
          jnp.broadcast_to(jnp.asarray(_IEND12)[None, :], (B, 12))], axis=1)
-    tsel = jnp.take_along_axis(tail20, jnp.clip(rel, 0, 19), axis=1)
-    body = jnp.where(rel < 0, body, jnp.where(rel < 20, tsel, 0))
+    # (B, N)-indexed gathers are pathological on TPU (~260ms each at this
+    # size); a 20-way select chain fuses into one elementwise pass.
+    tsel = jnp.zeros_like(body)
+    for t in range(20):
+        tsel = jnp.where(rel == t, tail20[:, t:t + 1], tsel)
+    body = jnp.where(rel < 0, body, tsel)
 
     # IDAT CRC over "IDAT" + payload + adler = bytes [54 : 58+tb+4).
     # body currently holds payload+adler then zeros from rel=4 on, except
@@ -100,8 +104,8 @@ def assemble_arena(words, total_bits, adler, prefix_u8, plens, hdr50_u8):
 
     # deposit the CRC bytes at rel in [4, 8)
     crc_b = _be32_bytes(idat_crc)
-    csel = jnp.take_along_axis(crc_b, jnp.clip(rel - 4, 0, 3), axis=1)
-    body = jnp.where((rel >= 4) & (rel < 8), csel, body)
+    for t in range(4):
+        body = jnp.where(rel == 4 + t, crc_b[:, t:t + 1], body)
 
     hdr = jnp.broadcast_to(
         hdr50_u8.astype(jnp.int32)[None, :], (B, 50))

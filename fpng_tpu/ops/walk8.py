@@ -239,7 +239,10 @@ def _walk8_body(g, zl8_ref, w18_ref, lut_ref, efin_ref, posr_ref,
         # every packed lane
         n_old = nst_ref[0, 0]
         hit = jnp.zeros((8, lpi), jnp.int32)
-        for j in range(_MEMB8):
+        # membership window cannot read past the record rows actually
+        # allocated (rows = 64*maxit, 8 rows per step j) — small maxit
+        # calls (overflow probes, tests) would slice out of bounds
+        for j in range(min(_MEMB8, 8 * maxit)):
             pr = posr_ref[0, 0, 8 * j:8 * (j + 1), :]
             r0r = raw0_ref[0, 0, 8 * j:8 * (j + 1), :]
             r1r = raw1_ref[0, 0, 8 * j:8 * (j + 1), :]

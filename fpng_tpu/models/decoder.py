@@ -117,6 +117,55 @@ def _use_walk8() -> bool:
     return os.environ.get("FPNG_TPU_WALK8", "1") != "0"
 
 
+def dispatch_kernel(sj, lj, pj, zj, *, h: int, w: int, c: int, zmax: int,
+                    nb: int):
+    """The production decode-kernel dispatch — walk8 -> PK=1 -> XLA
+    degrade chain — over already-packed device inputs.
+
+    Returns (imgs, ok, overflow, path) where path names the kernel that
+    actually ran ("walk8" / "pk1" / "xla").  Factored out of
+    _decode_launch so bench.py times exactly what decode_batch ships
+    (VERDICT r4: BENCH measured PK=1 while production defaulted to
+    walk8)."""
+    from ..ops.specdec_tpu import _bpl_pad
+
+    # walk path covers padded rasters to 2^27 slots (~44 MPix at 3ch:
+    # 4K/8K frames ride the fast path, matching the reference's
+    # fast-decode reach, fpng.cpp:2969-2971); larger fall to XLA
+    use_walk = is_tpu_backend() and h * _bpl_pad(w * c) < (1 << 27)
+    if use_walk:
+        try:
+            out8 = None
+            if _use_walk8():
+                from ..ops.walk8 import decode_kernel8_tpu, plan_tpu8
+
+                nc8, lpi = plan_tpu8(zmax)
+                # None = capacity overflow (sub-2-bit/token stream):
+                # the PK=1 kernel below covers the full worst case
+                out8 = decode_kernel8_tpu(
+                    sj, lj, pj, zj, h=h, w=w, c=c, nc_pad=nc8,
+                    lpi=lpi, zlib_len_max=zmax)
+            if out8 is not None:
+                return out8[0], out8[1], None, "walk8"
+            imgs, ok = decode_kernel_tpu(
+                sj, lj, pj, zj, h=h, w=w, c=c,
+                nc_pad=plan_tpu(zmax), zlib_len_max=zmax)
+            return imgs, ok, None, "pk1"
+        except Exception as e:  # pragma: no cover - device-specific
+            # a Mosaic/backend failure of the walk path must degrade
+            # to the XLA kernel, not kill the decode
+            import sys as _sys
+
+            print(f"fpng_tpu: walk kernel failed ({type(e).__name__}:"
+                  f" {str(e)[:200]}); falling back to the XLA path",
+                  file=_sys.stderr)
+    s_bits, n_chunks, max_steps = plan_chunks(nb)
+    imgs, ok, overflow = decode_kernel(
+        sj, lj, pj, zj, h=h, w=w, c=c, n_chunks=n_chunks,
+        chunk_bits=s_bits, max_steps=max_steps)
+    return imgs, ok, overflow, "xla"
+
+
 def _decode_launch(pngs: list[bytes], desired_channels: int):
     """Stage 1 of the pipelined decode: host container/header parse +
     device kernel dispatch.  Returns opaque state for _decode_finish_host;
@@ -168,46 +217,9 @@ def _decode_launch(pngs: list[bytes], desired_channels: int):
             luts[j] = pack_lut(lut)
             p0[j] = p
             zl[j] = zlib_len
-        from ..ops.specdec_tpu import _bpl_pad
-
-        use_walk = is_tpu_backend() and h * _bpl_pad(w * ch) < (1 << 23)
-        if use_walk:
-            try:
-                sj, lj = jnp.asarray(stream), jnp.asarray(luts)
-                pj, zj = jnp.asarray(p0), jnp.asarray(zl)
-                zmax = int(zl.max())
-                out8 = None
-                if _use_walk8():
-                    from ..ops.walk8 import decode_kernel8_tpu, plan_tpu8
-
-                    nc8, lpi = plan_tpu8(zmax)
-                    # None = capacity overflow (sub-2-bit/token stream):
-                    # the PK=1 kernel below covers the full worst case
-                    out8 = decode_kernel8_tpu(
-                        sj, lj, pj, zj, h=h, w=w, c=ch, nc_pad=nc8,
-                        lpi=lpi, zlib_len_max=zmax)
-                if out8 is not None:
-                    imgs, ok = out8
-                else:
-                    imgs, ok = decode_kernel_tpu(
-                        sj, lj, pj, zj, h=h, w=w, c=ch,
-                        nc_pad=plan_tpu(zmax), zlib_len_max=zmax)
-                overflow = None
-            except Exception as e:  # pragma: no cover - device-specific
-                # a Mosaic/backend failure of the walk path must degrade
-                # to the XLA kernel, not kill the decode
-                import sys as _sys
-
-                print(f"fpng_tpu: walk kernel failed ({type(e).__name__}:"
-                      f" {str(e)[:200]}); falling back to the XLA path",
-                      file=_sys.stderr)
-                use_walk = False
-        if not use_walk:
-            s_bits, n_chunks, max_steps = plan_chunks(nb)
-            imgs, ok, overflow = decode_kernel(
-                jnp.asarray(stream), jnp.asarray(luts), jnp.asarray(p0),
-                jnp.asarray(zl), h=h, w=w, c=ch, n_chunks=n_chunks,
-                chunk_bits=s_bits, max_steps=max_steps)
+        imgs, ok, overflow, _path = dispatch_kernel(
+            jnp.asarray(stream), jnp.asarray(luts), jnp.asarray(p0),
+            jnp.asarray(zl), h=h, w=w, c=ch, zmax=int(zl.max()), nb=nb)
         for a in (imgs, ok):
             try:
                 a.copy_to_host_async()

@@ -350,53 +350,64 @@ def _finish_batch(images, words, total_bits, last_tok, adler, prefixes,
     ]
 
 
-_assemble_arena_jit = None
+def _num_words(budget: int) -> int:
+    """Encode output buffer size in uint32 words, rounded up to 1024 (one
+    4096-byte CRC chunk) so the device-assembly CRC kernel can view the
+    buffer as whole (8, 128) word tiles; the round-up is dead zeros."""
+    return -(-max(budget // 4 + 4, 8) // 1024) * 1024
 
 
-def launch_arena(words, total_bits, adler, prefixes, W, H, Cc):
-    """Issue the device container-assembly kernel (ops/assemble.py).
+def launch_assemble(words, total_bits, adler, prefixes):
+    """Issue the device IDAT-CRC pass (ops/assemble.py).
 
-    Returns (arena, png_lens) device arrays; pure launch, no sync."""
-    global _assemble_arena_jit
+    Returns the (B,) uint32 CRC device array; pure launch, no sync.  The
+    rest of container assembly is host memcpy in _finish_batch_devcrc."""
+    from ..ops.assemble import idat_crc_words, raw_idat_prefix
+    from ..ops.bitpack import is_tpu_backend
+
+    plens = np.array([len(p) for p in prefixes], np.int32)
+    raw_ip = raw_idat_prefix(prefixes)
+    return idat_crc_words(words, total_bits, adler, jnp.asarray(plens),
+                          jnp.asarray(raw_ip),
+                          interpret=not is_tpu_backend())
+
+
+_IEND12 = b"\x00\x00\x00\x00IEND\xaeB`\x82"
+
+
+def _finish_batch_devcrc(images, words, crc, total_bits, last_tok, adler,
+                         prefixes, budget) -> list[bytes]:
+    """Host tail of the device-CRC assembly: per-image memcpy splice of
+    hdr58 + prefix + payload words + adler + crc + IEND, with the stored
+    fallback where the budget rule fired (fpng.cpp:1728-1758 semantics,
+    same predicate as _assemble)."""
     from ..container import build_header
-    from ..ops.assemble import PREFIX_PAD, assemble_arena
 
-    if _assemble_arena_jit is None:
-        _assemble_arena_jit = jax.jit(assemble_arena)
-    B = words.shape[0]
-    pref = np.zeros((B, PREFIX_PAD), np.uint8)
-    plens = np.zeros(B, np.int32)
-    if len(prefixes) == B and all(p is prefixes[0] for p in prefixes):
-        p0 = np.frombuffer(prefixes[0], np.uint8)
-        pref[:, :len(p0)] = p0[None, :]
-        plens[:] = len(p0)
-    else:
-        for b, p in enumerate(prefixes):
-            pref[b, :len(p)] = np.frombuffer(p, np.uint8)
-            plens[b] = len(p)
-    hdr50 = np.frombuffer(build_header(0, W, H, Cc)[:50], np.uint8)
-    return _assemble_arena_jit(words, total_bits, adler,
-                               jnp.asarray(pref), jnp.asarray(plens),
-                               jnp.asarray(hdr50))
-
-
-def _finish_batch_arena(images, arena, png_lens, total_bits, last_tok,
-                        plens, budget) -> list[bytes]:
-    """Slice device-assembled PNGs; stored fallback where the budget rule
-    fired (fpng.cpp:1728-1758 semantics, same predicate as _assemble)."""
-    B = images.shape[0]
-    arena = np.asarray(arena)
-    png_lens = np.asarray(png_lens)
+    B, H, W, Cc = images.shape
+    words = np.asarray(words)
+    crc = np.asarray(crc)
     total_bits = np.asarray(total_bits)
     last_tok = np.asarray(last_tok)
-    total_bytes = (total_bits.astype(np.int64) + 7) >> 3
+    adler = np.asarray(adler)
+    tb = (total_bits.astype(np.int64) + 7) >> 3
+    plens = np.array([len(p) for p in prefixes], np.int64)
     fail = ((last_tok >= 0) & ((last_tok >> 3) + 8 > budget)) | \
-        (total_bytes + 4 > budget) | (np.asarray(plens) > budget)
-    return [
-        _stored_png(images[b]) if fail[b]
-        else arena[b, :png_lens[b]].tobytes()
-        for b in range(B)
-    ]
+        (tb + 4 > budget) | (plens > budget)
+    hdr50 = build_header(0, W, H, Cc)[:50]
+    wb = words.view(np.uint8)  # (B, NW*4) little-endian payload bytes
+    out = []
+    for b in range(B):
+        if fail[b]:
+            out.append(_stored_png(images[b]))
+            continue
+        t = int(tb[b])
+        p = prefixes[b]
+        out.append(b"".join((
+            hdr50, (t + 4).to_bytes(4, "big"), b"IDAT", p,
+            wb[b, len(p):t].tobytes(),
+            int(adler[b]).to_bytes(4, "big"),
+            int(crc[b]).to_bytes(4, "big"), _IEND12)))
+    return out
 
 
 def encode_batch_stream(batches, flags: int = 0):
@@ -431,21 +442,20 @@ def encode_batch_stream(batches, flags: int = 0):
         codes, sizes, prefixes, base, pv, pn, cost_check = \
             _prepare_tables(images, hist, flags)
         budget = _budget(H, W, Cc)
-        num_words = max(budget // 4 + 4, 8)
         out = encode_kernel(
             dev, jnp.asarray(codes), jnp.asarray(sizes), jnp.asarray(base),
             jnp.asarray(pv), jnp.asarray(pn), num_chans=Cc,
-            cost_check=cost_check, want_hist=False, num_words=num_words)
+            cost_check=cost_check, want_hist=False,
+            num_words=_num_words(budget))
         words, total_bits, last_tok, adler, _ = out
         if _use_device_assembly():
-            arena, png_lens = launch_arena(words, total_bits, adler,
-                                           prefixes, W, H, Cc)
-            handles = ("arena", arena, png_lens, total_bits, last_tok,
-                       [len(p) for p in prefixes])
+            crc = launch_assemble(words, total_bits, adler, prefixes)
+            handles = ("devcrc", words, crc, total_bits, last_tok, adler,
+                       prefixes)
         else:
             handles = ("words", words, total_bits, last_tok, adler,
                        prefixes)
-        for a in handles[1:5]:
+        for a in handles[1:6]:
             try:
                 a.copy_to_host_async()
             except AttributeError:  # older jax Array types
@@ -456,8 +466,8 @@ def encode_batch_stream(batches, flags: int = 0):
         images, handles, prefixes, budget = launched
         if handles is None:
             return [_stored_png(images[b]) for b in range(images.shape[0])]
-        if handles[0] == "arena":
-            return _finish_batch_arena(images, *handles[1:], budget)
+        if handles[0] == "devcrc":
+            return _finish_batch_devcrc(images, *handles[1:], budget)
         return _finish_batch(images, *handles[1:], budget)
 
     pending = None
@@ -484,7 +494,7 @@ def encode_batch_device_input(dev_imgs, images: np.ndarray,
         return [_stored_png(images[b]) for b in range(B)]
 
     budget = _budget(H, W, Cc)
-    num_words = max(budget // 4 + 4, 8)
+    num_words = _num_words(budget)
     if dev_imgs is None:
         dev_imgs = jnp.asarray(images)
 
@@ -502,11 +512,10 @@ def encode_batch_device_input(dev_imgs, images: np.ndarray,
         num_chans=Cc, cost_check=cost_check, want_hist=False,
         num_words=num_words)
     if _use_device_assembly():
-        arena, png_lens = launch_arena(words, total_bits, adler, prefixes,
-                                       W, H, Cc)
-        return _finish_batch_arena(
-            images, arena, png_lens, total_bits, last_tok,
-            [len(p) for p in prefixes], budget)
+        crc = launch_assemble(words, total_bits, adler, prefixes)
+        return _finish_batch_devcrc(
+            images, words, crc, total_bits, last_tok, adler, prefixes,
+            budget)
     return _finish_batch(images, words, total_bits, last_tok, adler,
                          prefixes, budget)
 

@@ -69,7 +69,8 @@ _WROWS = _WL // 128
 
 def _window_deposit(vals, offs, idxv, wl_words, out_ref, pending, prevr,
                     base0=None, vals_hi=None, skip_empty=False,
-                    pair16=False, nb_lo=4, nb_hi=None, i8=False):
+                    pair16=False, nb_lo=4, nb_hi=None, i8=False,
+                    hbm=None):
     """Deposit one flat (_U,) sub-tile of (uint32 value, bit offset) units
     into out_ref through the carried window (pending/prevr scratch).
 
@@ -110,6 +111,14 @@ def _window_deposit(vals, offs, idxv, wl_words, out_ref, pending, prevr,
     case out of the while loop into straight-line code: Mosaic while
     iterations cost ~1us each in scalar sync, which dominated the deposit
     at one loop entry per tile.
+
+    hbm = (win_buf, sem, b): the output words live in HBM (images whose
+    word buffer exceeds the VMEM budget - e.g. a 4K raster's 50MB slot
+    buffer); each window is staged through the win_buf VMEM scratch and
+    DMA'd to out_ref[b, base_row:base_row+wrows).  The copy is waited
+    synchronously: consecutive windows overlap by the carry rows, so
+    write order matters, and the ~1us DMA wait per wl-word window is
+    small against the window's own matmul work.
     """
     wrows = wl_words // 128
     word = offs >> 5
@@ -246,7 +255,15 @@ def _window_deposit(vals, offs, idxv, wl_words, out_ref, pending, prevr,
         shifted = pending[pl.ds(d, wrows), :]
         combined = win + shifted
 
-        out_ref[0, pl.ds(base_row, wrows), :] = combined
+        if hbm is None:
+            out_ref[0, pl.ds(base_row, wrows), :] = combined
+        else:
+            win_buf, sem, b = hbm
+            win_buf[...] = combined
+            cp = pltpu.make_async_copy(
+                win_buf, out_ref.at[b, pl.ds(base_row, wrows), :], sem)
+            cp.start()
+            cp.wait()
         pending[0:wrows, :] = combined
         prevr[0] = base_row
         return i0 + jnp.sum(in_win.astype(jnp.int32))
@@ -282,7 +299,8 @@ def _flat_idx():
 
 def _make_deposit_kernel(group: int, wl: int, zero_init: bool,
                          packed16: bool = False, sub: int = _SUB,
-                         i8: bool = False):
+                         i8: bool = False, wide: bool = False,
+                         hbm: bool = False):
     """Deposit kernel over `group`-unit window walks with wl-word windows.
 
     Bigger groups amortize the per-walk fixed cost (scalar window scan,
@@ -293,37 +311,64 @@ def _make_deposit_kernel(group: int, wl: int, zero_init: bool,
     packed16: single int32 input per unit - (value9 << 23) | slot23 -
     decoded in-kernel (value at bit slot*16); spares the caller three
     O(N) staged value/nbits/offset arrays in HBM.
+
+    wide: two-plane record format for rasters past the 23-bit slot field
+    (requires packed16 == "pair"): plane A is the bare slot index (up to
+    2^27), plane B carries both values pre-shifted -
+    (0x100|v1) | ((0x100|s2) << 16), 0 = gap row.  Same HBM traffic as
+    pair mode (two int32 planes either way).
+
+    hbm: the output block exceeds the VMEM budget; out_ref lives in HBM
+    (memory_space ANY, zero-filled via input/output aliasing) and every
+    window is staged through a VMEM scratch + synchronous DMA.
     """
     grows = group // 128
+    if wide:
+        assert packed16 == "pair", "wide records require the pair planes"
 
     def kernel(vals_ref, *rest):
         if packed16 == "pair":
-            (metb_ref, out_ref, pending, prevr) = rest
-        elif packed16:
-            metb_ref = None
-            (out_ref, pending, prevr) = rest
+            metb_ref, rest = rest[0], rest[1:]
         else:
             metb_ref = None
-            (offs_ref, out_ref, pending, prevr) = rest
+            if not packed16:
+                offs_ref, rest = rest[0], rest[1:]
+        if hbm:
+            (_zeros_ref, out_ref, pending, prevr, win_buf, sem) = rest
+            hbm_t = (win_buf, sem, pl.program_id(0))
+        else:
+            (out_ref, pending, prevr) = rest
+            hbm_t = None
         t = pl.program_id(1)
 
         @pl.when(t == 0)
         def _():
             pending[...] = jnp.zeros_like(pending)
-            if packed16:
+            if wide:
+                prevr[0] = (vals_ref[0, 0, 0, 0] >> 1) // 128
+            elif packed16:
                 prevr[0] = ((vals_ref[0, 0, 0, 0] & 0x7FFFFF) >> 1) // 128
             else:
                 prevr[0] = (offs_ref[0, 0, 0, 0] >> 5) // 128
-            if zero_init:
+            if zero_init and not hbm:
                 # clear the image's word block on its first grid step so
                 # gap words (byte ranges no unit touches) read as zero
+                # (HBM mode starts from an aliased zero-filled buffer)
                 out_ref[...] = jnp.zeros_like(out_ref)
 
         idxv = (jax.lax.broadcasted_iota(jnp.int32, (grows, 128), 0) * 128 +
                 jax.lax.broadcasted_iota(jnp.int32, (grows, 128), 1)) \
             .reshape(group)
         for k in range((_U * sub) // group):
-            if packed16:
+            if wide:
+                m = vals_ref[0, 0, grows * k:grows * (k + 1), :] \
+                    .reshape(group)
+                mb = metb_ref[0, 0, grows * k:grows * (k + 1), :] \
+                    .reshape(group)
+                vals = mb.astype(jnp.uint32)
+                offs = m << 4
+                base0 = (vals_ref[0, 0, grows * k, 0] >> 1) // 128
+            elif packed16:
                 m = vals_ref[0, 0, grows * k:grows * (k + 1), :] \
                     .reshape(group)
                 vals = ((m >> 23) & 0x1FF).astype(jnp.uint32)
@@ -343,7 +388,7 @@ def _make_deposit_kernel(group: int, wl: int, zero_init: bool,
             _window_deposit(vals, offs, idxv, wl, out_ref, pending,
                             prevr, base0=base0,
                             skip_empty=bool(packed16),
-                            pair16=bool(packed16), i8=i8)
+                            pair16=bool(packed16), i8=i8, hbm=hbm_t)
 
     return kernel
 
@@ -404,9 +449,15 @@ def scatter_bits_tpu(vals: jnp.ndarray, nbits: jnp.ndarray,
     return out.reshape(B, rows * 128)[:, :num_words]
 
 
+# VMEM budget for the deposit's resident output block; bigger word
+# buffers (a 4K raster's slot buffer is ~50MB) switch to the HBM-output
+# mode (windows DMA'd out of a VMEM stage)
+_DEP_VMEM_BYTES = 10 << 20
+
+
 @functools.partial(jax.jit,
                    static_argnames=("num_words", "interpret", "group",
-                                    "wl", "sub", "i8"))
+                                    "wl", "sub", "i8", "wide"))
 def scatter_packed16_tpu(meta: jnp.ndarray, num_words: int,
                          metb: jnp.ndarray | None = None,
                          interpret: bool = False,
@@ -414,7 +465,8 @@ def scatter_packed16_tpu(meta: jnp.ndarray, num_words: int,
                          sub: int = int(_os.environ.get(
                              "FPNG_TPU_DEP_SUB", str(_SUB))),
                          i8: bool = _os.environ.get(
-                             "FPNG_TPU_DEP_I8", "1") != "0") -> jnp.ndarray:
+                             "FPNG_TPU_DEP_I8", "1") != "0",
+                         wide: bool = False) -> jnp.ndarray:
     """Deposit (B, N) packed records - (value9 << 23) | slot23 int32,
     16-bit units at bit offset slot*16, monotone slots - into
     (B, num_words) uint32 words.  Always zero-initialized (the record
@@ -424,13 +476,23 @@ def scatter_packed16_tpu(meta: jnp.ndarray, num_words: int,
     metb: optional (B, N) second-symbol values (9 bits, 0 = none); each
     rides its record's high half - a 32-bit unit at the same slot - so
     two-symbol walk steps still cost one deposit slot.
+
+    wide: rasters past the 23-bit slot field (up to 2^27 slots): meta is
+    the bare slot index, metb (required) carries both pre-shifted values
+    (0x100|v1) | ((0x100|s2) << 16), 0 = gap.  Output buffers past the
+    VMEM budget automatically take the HBM-output mode (staged windows,
+    aliased zero fill) - orthogonal to `wide`, though in practice large
+    rasters need both.
     """
     B, N = meta.shape
+    if wide:
+        assert metb is not None, "wide records require the value plane"
     step = _U * sub
     T = -(-N // step)
     pad = T * step - N
     if pad:
-        end = meta[:, -1:] & 0x7FFFFF  # final slot (monotone, value 0)
+        # final slot (monotone, value 0 - padding deposits nothing)
+        end = meta[:, -1:] if wide else meta[:, -1:] & 0x7FFFFF
         meta = jnp.concatenate(
             [meta, jnp.broadcast_to(end, (B, pad))], axis=1)
         if metb is not None:
@@ -438,6 +500,8 @@ def scatter_packed16_tpu(meta: jnp.ndarray, num_words: int,
                 [metb, jnp.zeros((B, pad), metb.dtype)], axis=1)
     wrows = wl // 128
     rows = -(-num_words // 128) + wrows + 1
+    hbm = rows * 512 > _DEP_VMEM_BYTES or \
+        _os.environ.get("FPNG_TPU_DEP_HBM", "") == "1"
     sub8 = 8 * sub
     meta4 = meta.astype(jnp.int32).reshape(B, T, sub8, 128)
     spec = pl.BlockSpec((1, 1, sub8, 128), lambda b, t: (b, t, 0, 0),
@@ -449,18 +513,32 @@ def scatter_packed16_tpu(meta: jnp.ndarray, num_words: int,
         in_specs.append(spec)
         args.append(metb.astype(jnp.int32).reshape(B, T, sub8, 128))
         mode = "pair"
+    scratch = [
+        pltpu.VMEM((2 * wrows, 128), jnp.uint32),
+        pltpu.SMEM((1,), jnp.int32),
+    ]
+    aliases = {}
+    if hbm:
+        # the whole output rides HBM, zero-filled by aliasing a zeros
+        # input; windows are staged through a VMEM scratch + DMA
+        aliases = {len(args): 0}
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        args.append(jnp.zeros((B, rows, 128), jnp.uint32))
+        out_spec = pl.BlockSpec(memory_space=pl.ANY)
+        scratch += [pltpu.VMEM((wrows, 128), jnp.uint32),
+                    pltpu.SemaphoreType.DMA]
+    else:
+        out_spec = pl.BlockSpec((1, rows, 128), lambda b, t: (b, 0, 0),
+                                memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         _make_deposit_kernel(group, wl, True, packed16=mode, sub=sub,
-                             i8=i8),
+                             i8=i8, wide=wide, hbm=hbm),
         grid=(B, T),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, rows, 128), lambda b, t: (b, 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((B, rows, 128), jnp.uint32),
-        scratch_shapes=[
-            pltpu.VMEM((2 * wrows, 128), jnp.uint32),
-            pltpu.SMEM((1,), jnp.int32),
-        ],
+        scratch_shapes=scratch,
+        input_output_aliases=aliases,
         interpret=interpret,
     )(*args)
     return out.reshape(B, rows * 128)[:, :num_words]

@@ -20,6 +20,8 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 ADLER_MOD = 65521
 _ADLER_CHUNK = 1024  # keeps per-chunk weighted sums < 2^31
@@ -283,3 +285,175 @@ def crc32_bytes_var(data: jnp.ndarray, lens: jnp.ndarray) -> jnp.ndarray:
     k = jnp.int32(N) - lens.astype(jnp.int32)
     out = crc32_var_unshift(raw ^ jnp.uint32(init_n), k, N)
     return out ^ jnp.uint32(0xFFFFFFFF)
+
+
+def crc32_var_shift(raw: jnp.ndarray, k: jnp.ndarray,
+                    max_k: int) -> jnp.ndarray:
+    """Advance each raw register through k[b] (<= max_k) zero bytes —
+    the forward twin of crc32_var_unshift."""
+    nbits = max(int(max_k).bit_length(), 1)
+    k = jnp.maximum(k, 0).astype(jnp.uint32)
+    bits32 = jnp.arange(32, dtype=jnp.uint32)
+    for t in range(nbits):
+        m = jnp.asarray(np.array(_shift_pow2_matrix(t), np.uint32))
+        rbits = (raw[:, None] >> bits32[None, :]) & jnp.uint32(1)  # (B, 32)
+        shifted = jax.lax.reduce(rbits * m[None, :], np.uint32(0),
+                                 jax.lax.bitwise_xor, (1,))
+        raw = jnp.where(((k >> t) & 1).astype(bool), shifted, raw)
+    return raw
+
+
+# --- word-domain raw CRC (device container assembly hot path) --------------
+#
+# The encode kernel's output is (B, NW) uint32 little-endian words; the old
+# assembly path expanded them to int32 bytes (4x the HBM traffic) before the
+# 8-bit-plane chunk reduction.  Here the position-bit table is word-granular
+# — entry [k][j] is the contribution of bit k of LE word j to the raw CRC of
+# a 4096-byte chunk — and a Pallas kernel reads each word tile ONCE from HBM,
+# does the 32-plane XOR accumulation in VMEM, and emits one uint32 register
+# per 1024-word chunk.  Per-image [plen, tb) byte masking (prefix bytes are
+# spliced on host; bytes past the payload are dead) rides the same pass, so
+# the CRC input tensor is never materialized at all.
+
+_WCRC_CW = 1024   # words per chunk register (4096 bytes = one (8,128) tile)
+_WCRC_CH = 64     # chunks per grid step
+
+
+@functools.lru_cache(maxsize=None)
+def _word_bit_table() -> np.ndarray:
+    """(32, 8, 128) uint32: contribution of bit k of LE word (s*128 + l)
+    to the raw CRC register of a 4096-byte chunk."""
+    byte_tab = np.array(_position_bit_table(_WCRC_CW * 4), np.uint32)
+    j = np.arange(_WCRC_CW)
+    out = np.zeros((32, _WCRC_CW), np.uint32)
+    for k in range(32):
+        out[k] = byte_tab[4 * j + k // 8, k % 8]
+    return out.reshape(32, 8, 128)
+
+
+def _ones_below(c: jnp.ndarray) -> jnp.ndarray:
+    """uint32 mask of the low 8*c bits, c in [0, 4]."""
+    cc = jnp.minimum(c, 3).astype(jnp.uint32)
+    m = (jnp.uint32(1) << (jnp.uint32(8) * cc)) - jnp.uint32(1)
+    return jnp.where(c >= 4, jnp.uint32(0xFFFFFFFF), m)
+
+
+def _crc_words_kernel(lo_ref, hi_ref, w_ref, bit_ref, out_ref, *, ch):
+    """Masked 32-plane XOR accumulation over `ch` 1024-word chunks.
+
+    lo/hi (SMEM): per-image byte bounds — bytes outside [lo, hi) are
+    treated as zero.  out: one raw register per chunk, deposited at its
+    flat lane position (row c>>7, lane c&127) of an (8, 128) tile."""
+    b = pl.program_id(0)
+    g = pl.program_id(1)
+    lo = lo_ref[b, 0]
+    hi = hi_ref[b, 0]
+    row = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    res = jnp.zeros((8, 128), jnp.uint32)
+    for c in range(ch):
+        w = w_ref[0, c]  # (8, 128) uint32
+        b0 = 4 * (((g * ch + c) * _WCRC_CW) + row * 128 + lane)
+        mask = ~_ones_below(jnp.clip(lo - b0, 0, 4)) & \
+            _ones_below(jnp.clip(hi - b0, 0, 4))
+        wm = w & mask
+        acc = jnp.zeros((8, 128), jnp.uint32)
+        for k in range(32):
+            bitk = bit_ref[k]
+            acc = acc ^ jnp.where(
+                ((wm >> jnp.uint32(k)) & 1).astype(bool), bitk,
+                jnp.uint32(0))
+        # XOR-fold to an all-equal tile, then deposit at flat position c
+        for s in (64, 32, 16, 8, 4, 2, 1):
+            acc = acc ^ pltpu.roll(acc, s, 1)
+        for s in (4, 2, 1):
+            acc = acc ^ pltpu.roll(acc, s, 0)
+        res = jnp.where((row == (c >> 7)) & (lane == (c & 127)), acc, res)
+    out_ref[0, 0] = res
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def crc32_words_masked_raw(words: jnp.ndarray, lo: jnp.ndarray,
+                           hi: jnp.ndarray,
+                           interpret: bool = False) -> jnp.ndarray:
+    """Init-0 CRC register of each row of a (B, NW) uint32 LE word buffer
+    with bytes outside [lo[b], hi[b]) treated as zero.  NW must be a
+    multiple of 1024; the result is the raw register of the FULL 4*NW-byte
+    (masked) message — callers unshift the 4*NW - hi zero tail."""
+    B, NW = words.shape
+    assert NW % _WCRC_CW == 0, NW
+    K = NW // _WCRC_CW
+    ch = min(_WCRC_CH, K)
+    G = -(-K // ch)
+    wr = words.reshape(B, K, 8, 128)
+    bit = jnp.asarray(_word_bit_table())
+    lo2 = lo.astype(jnp.int32).reshape(B, 1)
+    hi2 = hi.astype(jnp.int32).reshape(B, 1)
+    regs = pl.pallas_call(
+        functools.partial(_crc_words_kernel, ch=ch),
+        grid=(B, G),
+        in_specs=[
+            pl.BlockSpec((B, 1), lambda b, g: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((B, 1), lambda b, g: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, ch, 8, 128), lambda b, g: (b, g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((32, 8, 128), lambda b, g: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, 8, 128), lambda b, g: (b, g, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, G, 8, 128), jnp.uint32),
+        interpret=interpret,
+    )(lo2, hi2, wr, bit)
+    acc = regs.reshape(B, G * _WCRC_CW)[:, :K]
+
+    span = _WCRC_CW * 4
+    while K > 1:
+        if K % 2:  # prepend an all-zero segment (raw-neutral)
+            acc = jnp.concatenate([jnp.zeros((B, 1), jnp.uint32), acc],
+                                  axis=1)
+            K += 1
+        left, right = acc[:, 0::2], acc[:, 1::2]
+        acc = _apply_shift_device(left, _shift_matrix(span)) ^ right
+        span *= 2
+        K //= 2
+    return acc[:, 0]
+
+
+@functools.lru_cache(maxsize=None)
+def _bit_table_4() -> np.ndarray:
+    """(32,) uint32: contribution of bit k of an LE word to the raw CRC
+    of its own 4 bytes as a standalone 4-byte message."""
+    t = np.array(_position_bit_table(4), np.uint32)  # (4, 8)
+    return np.array([t[k // 8, k % 8] for k in range(32)], np.uint32)
+
+
+def crc32_raw4_le(word: jnp.ndarray) -> jnp.ndarray:
+    """Raw (init-0) CRC register of the 4 bytes of each LE uint32."""
+    tab = jnp.asarray(_bit_table_4())
+    out = jnp.zeros_like(word)
+    for k in range(32):
+        out = out ^ jnp.where(((word >> jnp.uint32(k)) & 1).astype(bool),
+                              tab[k], jnp.uint32(0))
+    return out
+
+
+def crc32_raw_prefix_host(msgs: list[bytes]) -> np.ndarray:
+    """Host-side raw (init-0) CRC registers of short per-image prefixes
+    (the constant "IDAT" tag + serialized zlib/dynamic-header bytes),
+    vectorized over the batch with the byte table."""
+    t = np.asarray(_byte_table(), np.uint32)
+    B = len(msgs)
+    n = max((len(m) for m in msgs), default=0)
+    buf = np.zeros((B, n), np.uint8)
+    lens = np.zeros(B, np.int64)
+    for b, m in enumerate(msgs):
+        buf[b, :len(m)] = np.frombuffer(m, np.uint8)
+        lens[b] = len(m)
+    r = np.zeros(B, np.uint32)
+    for j in range(n):
+        step = (r >> np.uint32(8)) ^ t[(r ^ buf[:, j]) & np.uint32(0xFF)]
+        r = np.where(j < lens, step, r)
+    return r

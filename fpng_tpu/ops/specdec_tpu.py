@@ -553,7 +553,8 @@ def _divmod_const(x, d: int):
     return q, x - q * d
 
 
-def _make_finalize_kernel(k8: int, lpi: int, geom, gchunk: int):
+def _make_finalize_kernel(k8: int, lpi: int, geom, gchunk: int,
+                          wide: bool = False):
     """Raw records -> finalized deposit records + constraint checks.
 
     Runs once over the k8 trimmed record rows per lane - pure VMEM
@@ -564,6 +565,10 @@ def _make_finalize_kernel(k8: int, lpi: int, geom, gchunk: int):
 
       meta = (0x100 | sym) << 23 | clamped padded data-slot offset
       metb = (0x100 | s2) for a consumed packed second literal
+
+    wide (rasters past the 23-bit slot field, up to 2^27 slots):
+      meta = bare slot offset
+      metb = (0x100 | v1) | ((0x100 | s2) << 16), 0 = gap
 
     Rows with position below the lane's final entry are the lane's
     pre-convergence garbage prefix and are treated as no-ops (they
@@ -635,8 +640,15 @@ def _make_finalize_kernel(k8: int, lpi: int, geom, gchunk: int):
             prim = lit | lit2_only
             v1 = jnp.where(lit, sym, s2)
             off = jnp.where(lit2_only, didx2, didx)
-            meta_tiles.append(off | jnp.where(prim, (v1 | 0x100) << 23, 0))
-            metb_tiles.append(jnp.where(lit & lit2, s2 | 0x100, 0))
+            if wide:
+                meta_tiles.append(off)
+                metb_tiles.append(
+                    jnp.where(prim, v1 | 0x100, 0) |
+                    jnp.where(lit & lit2, (s2 | 0x100) << 16, 0))
+            else:
+                meta_tiles.append(
+                    off | jnp.where(prim, (v1 | 0x100) << 23, 0))
+                metb_tiles.append(jnp.where(lit & lit2, s2 | 0x100, 0))
 
             live = rec & (outp < total)
             x = rowpos - 1
@@ -708,7 +720,7 @@ _LSF = 128  # finalize lane-slice width (keeps k8-row blocks in VMEM)
 
 def _finalize_records(posr, raw0, raw1, nst, e_fin, out0, *, k8: int,
                       geom, ncg: int | None = None,
-                      interpret: bool = False):
+                      interpret: bool = False, wide: bool = False):
     """(B, NG, ST8, LPI) raw records -> (meta, metb, chk).
 
     Lanes are fully independent here (the only cross-row op is the
@@ -746,7 +758,7 @@ def _finalize_records(posr, raw0, raw1, nst, e_fin, out0, *, k8: int,
                              lambda b, g, ls: (b, g, 0, ls),
                              memory_space=pltpu.VMEM)
     meta, metb, chk = pl.pallas_call(
-        _make_finalize_kernel(k8, _LSF, geom, gchunk),
+        _make_finalize_kernel(k8, _LSF, geom, gchunk, wide=wide),
         grid=(B, ngc, nls),
         in_specs=[rec_spec, rec_spec, rec_spec, lane_spec, lane_spec,
                   lane_spec],
@@ -905,10 +917,14 @@ def _decode_finish(posr, raw0, raw1, nst, e_fin, out0, zlib_len, *,
 
     from .bitpack import is_tpu_backend as _is_tpu
 
+    # rasters past the 23-bit packed slot field emit wide records (bare
+    # slot + value plane) - same traffic, 2^27-slot reach (the 4K class
+    # the reference fast-decodes, fpng.cpp:2969-2971)
+    wide = h * _bpl_pad(w * c) >= (1 << 23)
     meta4, metb4, chk = _finalize_records(
         posr, raw0, raw1, nst, e_fin, out0, k8=k8,
         geom=(row_stride, total, c, _bpl_pad(w * c)), ncg=NC // LPI,
-        interpret=interpret or not _is_tpu())
+        interpret=interpret or not _is_tpu(), wide=wide)
 
     fail_g = chk[:, :, 0]
     eob_end = jnp.min(chk[:, :, 1], axis=1)
@@ -944,7 +960,12 @@ def _decode_finish(posr, raw0, raw1, nst, e_fin, out0, zlib_len, *,
         # a step's second literal rides the same unit's high half
         dep = scatter_packed16_tpu(meta.reshape(B, n_rec), dep_words,
                                    metb=metb.reshape(B, n_rec),
-                                   interpret=interpret)
+                                   interpret=interpret, wide=wide)
+    elif wide:
+        rs = metb.astype(jnp.uint32).reshape(B, n_rec)
+        ro = meta.reshape(B, n_rec)
+        dep = deposit_bits(rs, jnp.where(rs != 0, 32, 0), ro * 16,
+                           dep_words, zero_init=True, group=2048, wl=1152)
     else:
         mu = jax.lax.bitcast_convert_type(meta, jnp.uint32)
         rs = ((mu >> 23) |
@@ -1001,8 +1022,12 @@ def decode_kernel_tpu(stream, lutp, p0, zlib_len, *, h: int, w: int, c: int,
     """
     import numpy as _np
 
-    # the packed record offset field is 23 bits over the padded raster
-    assert h * _bpl_pad(w * c) < (1 << 23), \
+    # deposit slot offsets are 16-bit-unit indices; wide records carry
+    # them bare in int32 and the deposit computes bit offsets slot*16,
+    # so the padded raster caps at 2^27 slots (~44 MPix at 3ch - the
+    # reference's own limit is 2^30 px total, fpng.cpp:2969-2971;
+    # beyond 2^27 the driver routes via the XLA kernel)
+    assert h * _bpl_pad(w * c) < (1 << 27), \
         "raster too large for the walk path (route via the XLA kernel)"
     # live-group trim: nc_pad is the WALK's compile bucket (coarse
     # {1,1.5}x pow2 ladder), but trailing all-dead groups contribute

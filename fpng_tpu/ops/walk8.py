@@ -404,7 +404,8 @@ def _decode_walk8(stream, lutp, p0, zlib_len, *, nc_pad: int, lpi: int,
     return posr, raw0, raw1, nst4, e_fin, out0, diag
 
 
-def _make_finalize8_kernel(k8: int, lsf: int, geom, gchunk: int):
+def _make_finalize8_kernel(k8: int, lsf: int, geom, gchunk: int,
+                           wide: bool = False):
     """walk8 raw records -> finalized deposit records + checks.
 
     Same record semantics as specdec_tpu._make_finalize_kernel
@@ -459,8 +460,15 @@ def _make_finalize8_kernel(k8: int, lsf: int, geom, gchunk: int):
             prim = lit | lit2_only
             v1 = jnp.where(lit, sym, s2)
             off = jnp.where(lit2_only, didx2, didx)
-            meta_tiles.append(off | jnp.where(prim, (v1 | 0x100) << 23, 0))
-            metb_tiles.append(jnp.where(lit & lit2, s2 | 0x100, 0))
+            if wide:  # bare slot + value plane (see specdec_tpu)
+                meta_tiles.append(off)
+                metb_tiles.append(
+                    jnp.where(prim, v1 | 0x100, 0) |
+                    jnp.where(lit & lit2, (s2 | 0x100) << 16, 0))
+            else:
+                meta_tiles.append(
+                    off | jnp.where(prim, (v1 | 0x100) << 23, 0))
+                metb_tiles.append(jnp.where(lit & lit2, s2 | 0x100, 0))
 
             lv = rec & (outp < total)
             x = rowpos - 1
@@ -528,7 +536,8 @@ _LSF8 = 128
 
 def _finalize_records8(posr, raw0, raw1, nst4, e_fin, out0, *, k8: int,
                        geom, lpi: int, ncg: int | None = None,
-                       interpret: bool = False, lsf: int | None = None):
+                       interpret: bool = False, lsf: int | None = None,
+                       wide: bool = False):
     """walk8 (B, NG, 64*maxit, lpi) raw records -> (meta, metb, chk).
 
     k8 is the live-step trim (step units); both the step trim and the
@@ -563,7 +572,7 @@ def _finalize_records8(posr, raw0, raw1, nst4, e_fin, out0, *, k8: int,
     e4 = e_fin.reshape(B, ng_full, 8, lpi)
     o4 = out0.reshape(B, ng_full, 8, lpi)
     meta, metb, chk = pl.pallas_call(
-        _make_finalize8_kernel(k8, lsf, geom, gchunk),
+        _make_finalize8_kernel(k8, lsf, geom, gchunk, wide=wide),
         grid=(B, ngc, nls),
         in_specs=[rec_spec, rec_spec, rec_spec, lane_spec, lane_spec,
                   lane_spec],
@@ -603,11 +612,12 @@ def _decode_finish8(posr, raw0, raw1, nst4, e_fin, out0, zlib_len, *,
     from .bitpack import is_tpu_backend as _is_tpu
     from .bitpack import scatter_packed16_tpu
 
+    wide = h * _bpl_pad(w * c) >= (1 << 23)
     meta7, metb7, chk = _finalize_records8(
         posr, raw0, raw1, nst4, e_fin, out0, k8=k8,
         geom=(row_stride, total, c, _bpl_pad(w * c)), lpi=lpi,
         ncg=NC // (8 * lpi),
-        interpret=interpret or not _is_tpu())
+        interpret=interpret or not _is_tpu(), wide=wide)
 
     fail_g = chk[:, :, 0]
     eob_end = jnp.min(chk[:, :, 1], axis=1)
@@ -623,7 +633,7 @@ def _decode_finish8(posr, raw0, raw1, nst4, e_fin, out0, zlib_len, *,
     dep_words = H8 * (bpl_pad // 2)
     dep = scatter_packed16_tpu(meta7.reshape(B, n_rec), dep_words,
                                metb=metb7.reshape(B, n_rec),
-                               interpret=interpret)
+                               interpret=interpret, wide=wide)
     imgs = expand_tpu(jax.lax.bitcast_convert_type(dep, jnp.int32),
                       h=h, w=w, c=c, bpl_pad=bpl_pad,
                       interpret=interpret)
@@ -646,7 +656,7 @@ def decode_kernel8_tpu(stream, lutp, p0, zlib_len, *, h: int, w: int,
     nc_pad must be a multiple of 8*lpi (plan_tpu8)."""
     import numpy as _np
 
-    assert h * _bpl_pad(w * c) < (1 << 23), \
+    assert h * _bpl_pad(w * c) < (1 << 27), \
         "raster too large for the walk path (route via the XLA kernel)"
     assert nc_pad % (8 * lpi) == 0
     zmax = zlib_len_max if zlib_len_max is not None \

@@ -43,34 +43,66 @@ def test_arena_roundtrip_decodes():
     assert all(np.array_equal(o, i) for o, i in zip(outs, imgs))
 
 
-def test_arena_equals_build_png_directly():
-    """Drive launch_arena directly on a synthetic payload."""
+def test_devcrc_assembly_equals_build_png_directly():
+    """Drive launch_assemble + _finish_batch_devcrc on a synthetic payload
+    spanning the edge cases: payloads reaching every chunk-boundary phase,
+    the exact buffer edge, and per-image (non-shared) prefixes."""
     import jax.numpy as jnp
 
-    from fpng_tpu.models.encoder import launch_arena
+    from fpng_tpu.models.encoder import _finish_batch_devcrc, launch_assemble
 
     rng = np.random.default_rng(3)
     B, W, H, Cc = 6, 9, 7, 3
-    NW = 64
+    NW = 1024  # one CRC chunk: minimum legal word buffer
     words = rng.integers(0, 2**32, (B, NW), np.uint64).astype(np.uint32)
-    prefixes = [bytes(rng.integers(0, 256, rng.integers(5, 60), np.uint8).tolist())
+    prefixes = [bytes(rng.integers(0, 256, rng.integers(5, 60),
+                                   np.uint8).tolist())
                 for _ in range(B)]
-    # NW*4-18 = budget-4 is the real encoder's max payload (regression:
-    # the 20-byte tail used to clip 2 bytes off IEND there); NW*4 is the
-    # absolute arena edge.  All >= 60 so prefixes fit inside the payload
-    # (true of real streams: total_bits covers the prefix).
+    # All >= 60 so prefixes fit inside the payload (true of real streams:
+    # total_bits covers the prefix); include the absolute buffer edge.
     tbytes = np.array([61, 200, NW * 4 - 20, 100, NW * 4 - 18, NW * 4],
                       np.int64)
     adler = rng.integers(0, 2**32, B, np.uint64).astype(np.uint32)
-    # zero the partial high bits like the encode kernel guarantees
     total_bits = tbytes * 8
-    arena, lens = launch_arena(jnp.asarray(words), jnp.asarray(total_bits),
-                               jnp.asarray(adler), prefixes, W, H, Cc)
-    arena, lens = np.asarray(arena), np.asarray(lens)
+    crc = launch_assemble(jnp.asarray(words), jnp.asarray(total_bits),
+                          jnp.asarray(adler), prefixes)
+    imgs = np.zeros((B, H, W, Cc), np.uint8)
+    budget = NW * 4  # all payloads pass the fallback predicate except edge
+    last_tok = np.full(B, -1, np.int64)
+    pngs = _finish_batch_devcrc(imgs, words, crc, total_bits, last_tok,
+                                adler, prefixes, budget)
     for b in range(B):
         raw = bytearray(words[b].tobytes()[:tbytes[b]])
         raw[:len(prefixes[b])] = prefixes[b]
         z = bytes(raw) + int(adler[b]).to_bytes(4, "big")
+        if tbytes[b] + 4 > budget:  # stored-fallback row: predicate fires
+            continue
         exp = build_png(z, W, H, Cc)
-        assert lens[b] == len(exp)
-        assert arena[b, :lens[b]].tobytes() == exp, f"image {b}"
+        assert pngs[b] == exp, f"image {b}"
+
+
+def test_devcrc_multi_chunk_tree():
+    """Payloads spanning several 4096-byte CRC chunks exercise the
+    log-depth register tree + the variable unshift across chunks."""
+    import jax.numpy as jnp
+    import zlib
+
+    from fpng_tpu.ops.assemble import idat_crc_words, raw_idat_prefix
+
+    rng = np.random.default_rng(5)
+    B, NW = 3, 5 * 1024  # 5 chunks (odd count hits the zero-pad branch)
+    words = rng.integers(0, 2**32, (B, NW), np.uint64).astype(np.uint32)
+    prefixes = [b"\x78\x01" + bytes(rng.integers(0, 256, 40,
+                                                 np.uint8).tolist())
+                for _ in range(B)]
+    tbytes = np.array([4097, 3 * 4096 + 1333, NW * 4], np.int64)
+    adler = rng.integers(0, 2**32, B, np.uint64).astype(np.uint32)
+    crc = np.asarray(idat_crc_words(
+        jnp.asarray(words), jnp.asarray(tbytes * 8), jnp.asarray(adler),
+        jnp.asarray([len(p) for p in prefixes], np.int32),
+        jnp.asarray(raw_idat_prefix(prefixes)), interpret=True))
+    for b in range(B):
+        raw = bytearray(words[b].tobytes()[:tbytes[b]])
+        raw[:len(prefixes[b])] = prefixes[b]
+        msg = b"IDAT" + bytes(raw) + int(adler[b]).to_bytes(4, "big")
+        assert int(crc[b]) == (zlib.crc32(msg) & 0xFFFFFFFF), f"image {b}"

@@ -61,26 +61,18 @@ def test_stored_byte_exact(reflib, images):
         assert ours == theirs, img.shape
 
 
-def test_one_pass_sizes_comparable(reflib, images):
-    """Different trained tables => different bytes, but sizes must be close
-    in aggregate (within 5% total) and streams valid both directions."""
-    ours_total = theirs_total = 0
-    for img in images:
-        h, w, c = img.shape
-        ours = _streams_for(img, 0)
-        theirs = reflib.encode(img, 0)
-        ours_total += len(ours)
-        theirs_total += len(theirs)
-    assert ours_total < theirs_total * 1.05, (ours_total, theirs_total)
-
-
 @pytest.mark.parametrize("c", [3, 4])
 def test_one_pass_sizes_within_1pct_real_corpus(reflib, c):
-    """North-star gate: 1-pass compressed sizes within +-1% of the
-    reference on REAL photographic content (BASELINE.json; the
-    reference's published per-corpus sizes, README.md:19-43).  2-pass is
-    byte-exact (test_two_pass_byte_exact), so only 1-pass - where our
-    trained tables differ from fpng.cpp:532-562's - needs the band."""
+    """THE size gate (single authoritative bound): 1-pass compressed
+    sizes within +-1% two-sided of the reference on REAL photographic
+    content (BASELINE.json; the reference's published per-corpus sizes,
+    README.md:19-43).  2-pass is byte-exact (test_two_pass_byte_exact),
+    so only 1-pass - where our trained tables differ from
+    fpng.cpp:532-562's - needs the band.  A former 5% one-sided gate on
+    the synthetic fixture was deleted (two inconsistent gates; synthetic
+    micro-images measure table-training corpus choice, not codec
+    quality).  bench.py re-proves this bound on every hardware run via
+    vs_ref_bytes per mode."""
     from fpng_tpu.train import real_corpus
 
     tiles = list(real_corpus(c, 128))

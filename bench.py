@@ -61,6 +61,26 @@ def make_corpus(kind: str, B: int = 128, size: int = 256):
     return np.stack((tiles * reps)[:B])
 
 
+def make_corpus_4k(B: int = 2):
+    """(B, 2160, 3840, 3) mosaics of real example.png crops: the
+    large-raster serving payload (VERDICT r4 item 4's hardware point -
+    the walk path's wide-record + big-block deposit regime)."""
+    from fpng_tpu.train import real_corpus
+
+    H, W = 2160, 3840
+    tiles = list(real_corpus(3, 256))
+    if not tiles:
+        return None
+    rng = np.random.default_rng(7)
+    out = []
+    for _ in range(B):
+        rows = [np.concatenate([tiles[rng.integers(0, len(tiles))]
+                                for _ in range(W // 256)], axis=1)
+                for _ in range(-(-H // 256))]
+        out.append(np.concatenate(rows, axis=0)[:H, :W])
+    return np.stack(out)
+
+
 def _shard(arr):
     """dp-shard a (B, ...) device array when >1 chip is attached; the
     codec is embarrassingly data-parallel (SURVEY §2.3), so the bench
@@ -531,6 +551,28 @@ def _run_benchmarks():
             # north star demands on photographic content
             detail[f"size_gate_{kind}"] = _size_gate_by_class(
                 3 if kind == "real3" else 4)
+
+    if not only and os.environ.get("FPNG_TPU_BENCH_4K", "1") != "0":
+        # large-raster hardware point (>=8 MPix/image): 4K mosaics of
+        # the same real content, 1-pass, device-resident timing - the
+        # wide-record big-block deposit regime the 2^23->~28M-slot cap
+        # lift enabled (fpng.cpp:2969-2971 fast-decodes these too)
+        imgs4k = make_corpus_4k()
+        if imgs4k is not None:
+            enc_mps, enc_e2e, stage4k, pngs4k = _bench_encode(imgs4k, 0)
+            dec_mps, skipped4k, path4k = _bench_decode(
+                imgs4k, np.array(pngs4k, dtype=object))
+            _spot_check(imgs4k, pngs4k)
+            detail["large4k_1pass"] = {
+                "shape": "2x2160x3840x3",
+                "encode_mps": round(enc_mps, 2),
+                "encode_with_assembly_mps": round(enc_e2e, 2),
+                "decode_mps": round(dec_mps, 2),
+                "decode_path": path4k,
+                "stored_fallbacks": skipped4k,
+                "bytes": sum(len(p) for p in pngs4k),
+                **stage4k,
+            }
 
     agg, bagg = headline
     print(json.dumps({

@@ -129,10 +129,13 @@ def dispatch_kernel(sj, lj, pj, zj, *, h: int, w: int, c: int, zmax: int,
     walk8)."""
     from ..ops.specdec_tpu import _bpl_pad
 
-    # walk path covers padded rasters to 2^27 slots (~44 MPix at 3ch:
-    # 4K/8K frames ride the fast path, matching the reference's
-    # fast-decode reach, fpng.cpp:2969-2971); larger fall to XLA
-    use_walk = is_tpu_backend() and h * _bpl_pad(w * c) < (1 << 27)
+    # walk path covers padded rasters up to the deposit's VMEM-resident
+    # output ceiling (~28M slots: a 4K 3ch frame rides the fast path,
+    # matching the reference's fast-decode priority, fpng.cpp:2969-2971);
+    # larger rasters fall to the XLA kernel, still full-res correct
+    from ..ops.bitpack import _DEP_SLOTS_MAX
+    use_walk = is_tpu_backend() and \
+        h * _bpl_pad(w * c) < min(1 << 27, _DEP_SLOTS_MAX)
     if use_walk:
         try:
             out8 = None

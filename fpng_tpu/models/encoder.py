@@ -163,10 +163,16 @@ def encode_kernel(imgs, codes, sizes, base_bits, pend_val, pend_n, *,
         cost_check=cost_check)
     fvals = jnp.where(jnp.arange(H, dtype=jnp.int32) > 0, 2, 0)
 
-    if is_tpu_backend():
+    from ..ops.bitpack import _DEP_BLOCK_MAX
+    from ..ops.encfuse import _WRE
+    fused_ok = (-(-num_words // 128) + _WRE + 1) * 512 <= _DEP_BLOCK_MAX
+    if is_tpu_backend() and fused_ok:
         words, total_bits, last_tok_start = encode_bits_fused(
             desc, tbl, base_bits, num_words)
     else:
+        # rasters past the fused deposit's VMEM ceiling (~28M slots)
+        # take the XLA scatter - slower, but the reference's 2^30-px
+        # reach stays covered (fpng.cpp:2969-2971)
         vals, nbits, ts = materialize_units(desc, codes, sizes)
         offsets = exclusive_offsets(nbits, base_bits)
         words = scatter_bits(vals, nbits, offsets, num_words)

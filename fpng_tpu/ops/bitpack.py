@@ -186,68 +186,66 @@ def _window_deposit(vals, offs, idxv, wl_words, out_ref, pending, prevr,
         else:
             ohc = (cols128 == c_u[:, None]).astype(jnp.bfloat16)
         P = planes.shape[0]
-        # chunked stacking: wrows skinny (P, group) matmuls each pad M to
-        # the MXU's 128 rows, so fuse as many rows per matmul as fit -
-        # ceil(wrows*P/128) MXU passes total instead of wrows
-        nmm = -(-(wrows * P) // 128)
-        chunk = -(-wrows // nmm)
-        rows_m = []
+        G = planes.shape[1]
+        # pad the plane stack to a sublane-aligned count: the matmul
+        # result then reshapes (wrows*Pp, 128) <-> (wrows, Pp, 128) for
+        # free, which lets every post-dot step run ONCE over all window
+        # rows.  (The former per-row combine loop issued ~10 ops per
+        # (4, 128) row tile; its dispatch latency - walks x wrows ~ N/256
+        # regardless of geometry - was the deposit's measured pole, the
+        # "geometry-insensitive" cost in STATUS r3/r4.)
+        Pp = -(-P // 8) * 8
+        if Pp > P:
+            planes = jnp.concatenate(
+                [planes, jnp.zeros((Pp - P, G), mmt)], axis=0)
         abl = _os.environ.get("FPNG_TPU_DEP_ABL", "")  # profiling only
-        for r0 in range(0, wrows, chunk):
-            rs = range(r0, min(r0 + chunk, wrows))
-            if abl == "nobuild":  # skip the row masking (wrong results)
-                big = jnp.concatenate([planes for _ in rs], axis=0)
-            else:
-                big = jnp.concatenate(
-                    [planes * (r_u == r)[None, :].astype(mmt)
-                     for r in rs], axis=0)
-            if abl == "nomxu":  # skip the dot (wrong results)
-                allr = big[:, :128].astype(jnp.int32)
-            elif i8:
-                allr = jnp.dot(big.astype(jnp.int8), ohc,
-                               preferred_element_type=jnp.int32)
-            else:
-                allr = jnp.dot(big, ohc,
-                               preferred_element_type=jnp.float32) \
-                    .astype(jnp.int32)
-            rows_m += [allr[i * P:(i + 1) * P] for i in range(len(rs))]
+        if abl == "nobuild":  # skip the row masking (wrong results)
+            big = jnp.broadcast_to(planes[None], (wrows, Pp, G))
+        else:
+            rowm = (r_u[None, :] == jax.lax.broadcasted_iota(
+                jnp.int32, (wrows, G), 0)).astype(mmt)
+            big = planes[None, :, :] * rowm[:, None, :]
+        big = big.reshape(wrows * Pp, G)
+        if abl == "nomxu":  # skip the dot (wrong results)
+            a3 = big[:, :128].astype(jnp.int32).reshape(wrows, Pp, 128)
+        elif i8:
+            a3 = jnp.dot(big.astype(jnp.int8), ohc,
+                         preferred_element_type=jnp.int32) \
+                .reshape(wrows, Pp, 128)
+        else:
+            a3 = jnp.dot(big, ohc, preferred_element_type=jnp.float32) \
+                .astype(jnp.int32).reshape(wrows, Pp, 128)
+        if i8:
+            # count plane (last live row) restores the -128 shift of
+            # every computed byte plane; uncomputed (pad) byte planes
+            # are exact zeros and need no correction
+            a3 = a3[:, :P - 1] + (a3[:, P - 1:P] << 7)
 
-        def grp(r, base, nb):
-            """Group rows of window row r, i8 shift-corrected."""
-            g = rows_m[r][base:base + nb]
-            if i8:
-                g = g + (rows_m[r][P - 1:P] << 7)
-            return g
-
-        lane = jax.lax.broadcasted_iota(jnp.int32, (4, 128), 1)
-        zrow = None
-        win_rows = []
-        for r in range(wrows):
-            ws = None
-            base = 0
-            for arr, nb, shw in groups:
-                cur = grp(r, base, nb)
-                if nb < 4:
-                    if zrow is None:
-                        zrow = jnp.zeros((4 - nb, 128), jnp.int32)
-                    cur = jnp.concatenate([cur, zrow])
-                if shw == 0:
-                    contrib = cur
-                else:
-                    # bytes land shw words later; the first shw words of
-                    # a row take the previous row's tail carry
-                    prev = grp(r - 1, base, nb) if r \
-                        else jnp.zeros_like(cur[:nb])
-                    if nb < 4:
-                        prev = jnp.concatenate([prev, zrow])
-                    contrib = jnp.where(lane > shw - 1,
-                                        pltpu.roll(cur, shw, 1),
-                                        pltpu.roll(prev, shw, 1))
-                ws = contrib if ws is None else ws + contrib
-                base += nb
-            win_rows.append((ws[0:1] | (ws[1:2] << 8) | (ws[2:3] << 16) |
-                             (ws[3:4] << 24)))
-        win = jnp.concatenate(win_rows, axis=0).astype(jnp.uint32)
+        lane3 = jax.lax.broadcasted_iota(jnp.int32, (wrows, 4, 128), 2)
+        ws = None
+        base = 0
+        for _arr, nb, shw in groups:
+            cur = a3[:, base:base + nb]
+            if nb < 4:
+                cur = jnp.concatenate(
+                    [cur, jnp.zeros((wrows, 4 - nb, 128), jnp.int32)],
+                    axis=1)
+            if shw == 0:
+                contrib = cur
+            else:
+                # bytes land shw words later; the first shw words of a
+                # row take the previous row's tail carry
+                prev = jnp.concatenate(
+                    [jnp.zeros((1, 4, 128), jnp.int32), cur[:-1]], axis=0)
+                rc = pltpu.roll(cur.reshape(wrows * 4, 128), shw, 1) \
+                    .reshape(wrows, 4, 128)
+                rp = pltpu.roll(prev.reshape(wrows * 4, 128), shw, 1) \
+                    .reshape(wrows, 4, 128)
+                contrib = jnp.where(lane3 > shw - 1, rc, rp)
+            ws = contrib if ws is None else ws + contrib
+            base += nb
+        win = (ws[:, 0] | (ws[:, 1] << 8) | (ws[:, 2] << 16) |
+               (ws[:, 3] << 24)).astype(jnp.uint32)
 
         # d > wrows (gap): the clamped read lands in the zeroed
         # upper half of `pending`
@@ -449,10 +447,17 @@ def scatter_bits_tpu(vals: jnp.ndarray, nbits: jnp.ndarray,
     return out.reshape(B, rows * 128)[:, :num_words]
 
 
-# VMEM budget for the deposit's resident output block; bigger word
-# buffers (a 4K raster's slot buffer is ~50MB) switch to the HBM-output
-# mode (windows DMA'd out of a VMEM stage)
+# Default Mosaic scoped-VMEM budget for the deposit's resident output
+# block.  Larger word buffers (a 4K raster's ~25MB) stay VMEM-resident
+# with a raised per-kernel vmem_limit_bytes - v5e has 128MB of physical
+# VMEM and the 16MB scoped default is just a compiler guardrail; Mosaic
+# double-buffers the revolving per-image output block, so the usable
+# ceiling is ~half of what the limit leaves after inputs/scratch.
+# Rasters past _DEP_SLOTS_MAX route to the XLA decode path (driver gate).
 _DEP_VMEM_BYTES = 10 << 20
+_DEP_VMEM_LIMIT = 120 << 20   # raised Mosaic scoped limit for big blocks
+_DEP_BLOCK_MAX = 54 << 20     # one output block (2 live under the limit)
+_DEP_SLOTS_MAX = (_DEP_BLOCK_MAX // 512 - 40) * 256  # ~28M (4K 3ch fits)
 
 
 @functools.partial(jax.jit,
@@ -500,8 +505,18 @@ def scatter_packed16_tpu(meta: jnp.ndarray, num_words: int,
                 [metb, jnp.zeros((B, pad), metb.dtype)], axis=1)
     wrows = wl // 128
     rows = -(-num_words // 128) + wrows + 1
-    hbm = rows * 512 > _DEP_VMEM_BYTES or \
-        _os.environ.get("FPNG_TPU_DEP_HBM", "") == "1"
+    # HBM-output mode (staged window DMAs) is correct in interpret mode
+    # but faults on real hardware (axon backend, r5 bisect: isolated
+    # DMA-from-while patterns all pass, the full kernel does not) - so
+    # big blocks stay VMEM-resident under a raised per-kernel Mosaic
+    # scoped limit instead, and the driver routes rasters past
+    # _DEP_SLOTS_MAX to the XLA path.  FPNG_TPU_DEP_HBM=1 re-enables
+    # the DMA mode for debugging.
+    hbm = _os.environ.get("FPNG_TPU_DEP_HBM", "") == "1"
+    big_blk = rows * 512 > _DEP_VMEM_BYTES and not hbm
+    if big_blk:
+        assert rows * 512 <= _DEP_BLOCK_MAX, \
+            (num_words, "route rasters past _DEP_SLOTS_MAX to XLA")
     sub8 = 8 * sub
     meta4 = meta.astype(jnp.int32).reshape(B, T, sub8, 128)
     spec = pl.BlockSpec((1, 1, sub8, 128), lambda b, t: (b, t, 0, 0),
@@ -530,6 +545,10 @@ def scatter_packed16_tpu(meta: jnp.ndarray, num_words: int,
     else:
         out_spec = pl.BlockSpec((1, rows, 128), lambda b, t: (b, 0, 0),
                                 memory_space=pltpu.VMEM)
+    params = {}
+    if big_blk and not interpret:
+        params["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=_DEP_VMEM_LIMIT)
     out = pl.pallas_call(
         _make_deposit_kernel(group, wl, True, packed16=mode, sub=sub,
                              i8=i8, wide=wide, hbm=hbm),
@@ -540,6 +559,7 @@ def scatter_packed16_tpu(meta: jnp.ndarray, num_words: int,
         scratch_shapes=scratch,
         input_output_aliases=aliases,
         interpret=interpret,
+        **params,
     )(*args)
     return out.reshape(B, rows * 128)[:, :num_words]
 

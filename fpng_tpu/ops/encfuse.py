@@ -81,9 +81,26 @@ def _unit_decode(d, tbl_rows, sub8):
     return val, n, ts
 
 
-def _encfuse_kernel(base_ref, desc0_ref, desc1_ref, desc2_ref, desc3_ref,
-                    tbl_ref, out_ref, tot_ref, ltk_ref, pending, prevr,
-                    carry, ltokv):
+def _make_encfuse_kernel(hbm: bool = False):
+    def kernel(base_ref, desc0_ref, desc1_ref, desc2_ref, desc3_ref,
+               tbl_ref, out_ref, tot_ref, ltk_ref, *scr):
+        if hbm:
+            pending, prevr, carry, ltokv, win_buf, sem = scr
+        else:
+            pending, prevr, carry, ltokv = scr
+            win_buf = sem = None
+        _encfuse_body(base_ref, desc0_ref, desc1_ref, desc2_ref,
+                      desc3_ref, tbl_ref, out_ref, tot_ref, ltk_ref,
+                      pending, prevr, carry, ltokv,
+                      hbm_t=((win_buf, sem, pl.program_id(0))
+                             if hbm else None))
+
+    return kernel
+
+
+def _encfuse_body(base_ref, desc0_ref, desc1_ref, desc2_ref, desc3_ref,
+                  tbl_ref, out_ref, tot_ref, ltk_ref, pending, prevr,
+                  carry, ltokv, hbm_t=None):
     b = pl.program_id(0)
     t = pl.program_id(1)
     sub8 = 8 * _SUB
@@ -158,7 +175,7 @@ def _encfuse_kernel(base_ref, desc0_ref, desc1_ref, desc2_ref, desc3_ref,
         vh = v_hi[grows * k:grows * (k + 1), :].reshape(_GUE)
         of = offs[grows * k:grows * (k + 1), :].reshape(_GUE)
         _window_deposit(vf, of, idxv, _WLE, out_ref, pending, prevr,
-                        base0=(gbits >> 5) // 128, vals_hi=vh)
+                        base0=(gbits >> 5) // 128, vals_hi=vh, hbm=hbm_t)
         gbits = gbits + jnp.sum(n[grows * k:grows * (k + 1), :])
 
     @pl.when(t == pl.num_programs(1) - 1)
@@ -194,9 +211,38 @@ def encode_bits_fused(desc: jnp.ndarray, tbl: jnp.ndarray,
 
     tile_spec = pl.BlockSpec((1, 1, sub8, 128), lambda b, t: (b, t, 0, 0),
                              memory_space=pltpu.VMEM)
+    # Word buffers past the default Mosaic scoped-VMEM budget (large
+    # rasters - a 4K image's ~25MB arena) stay VMEM-resident under a
+    # raised per-kernel limit (see ops/bitpack: the HBM staged-DMA mode
+    # is interpret-correct but faults on real hardware, so it is
+    # env-gated off; FPNG_TPU_DEP_HBM=1 re-enables it for debugging).
+    from .bitpack import _DEP_BLOCK_MAX, _DEP_VMEM_BYTES, _DEP_VMEM_LIMIT
+    hbm = _os.environ.get("FPNG_TPU_DEP_HBM", "") == "1"
+    big_blk = rows * 512 > _DEP_VMEM_BYTES and not hbm
+    if big_blk:
+        assert rows * 512 <= _DEP_BLOCK_MAX, \
+            (num_words, "raster too large for the device encoder")
+    scratch = [
+        pltpu.VMEM((2 * _WRE, 128), jnp.uint32),
+        pltpu.SMEM((1,), jnp.int32),
+        pltpu.SMEM((1,), jnp.int32),
+        pltpu.VMEM((sub8, 128), jnp.int32),
+    ]
+    if hbm:
+        out_spec = pl.BlockSpec(memory_space=pl.ANY)
+        scratch += [pltpu.VMEM((_WRE, 128), jnp.uint32),
+                    pltpu.SemaphoreType.DMA]
+    else:
+        out_spec = pl.BlockSpec((1, rows, 128), lambda b, t: (b, 0, 0),
+                                memory_space=pltpu.VMEM)
+    params = {}
+    if big_blk and not interpret:
+        params["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=_DEP_VMEM_LIMIT)
     out, tot, ltk = pl.pallas_call(
-        _encfuse_kernel,
+        _make_encfuse_kernel(hbm=hbm),
         grid=(B, T),
+        **params,
         in_specs=[
             pl.BlockSpec((B, 1), lambda b, t: (0, 0),
                          memory_space=pltpu.SMEM),
@@ -205,8 +251,7 @@ def encode_bits_fused(desc: jnp.ndarray, tbl: jnp.ndarray,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, rows, 128), lambda b, t: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
+            out_spec,
             pl.BlockSpec((B, 1), lambda b, t: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((B, 1), lambda b, t: (0, 0),
@@ -217,12 +262,7 @@ def encode_bits_fused(desc: jnp.ndarray, tbl: jnp.ndarray,
             jax.ShapeDtypeStruct((B, 1), jnp.int32),
             jax.ShapeDtypeStruct((B, 1), jnp.int32),
         ),
-        scratch_shapes=[
-            pltpu.VMEM((2 * _WRE, 128), jnp.uint32),
-            pltpu.SMEM((1,), jnp.int32),
-            pltpu.SMEM((1,), jnp.int32),
-            pltpu.VMEM((sub8, 128), jnp.int32),
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(base_bits.astype(jnp.int32).reshape(B, 1), *descs,
       tbl.astype(jnp.int32))

@@ -101,6 +101,33 @@ def test_fused_matches_xla(case, rng):
         assert np.array_equal(got_words[b, :nw], want_words[b, :nw]), b
 
 
+def test_fused_hbm_mode_matches_xla(rng):
+    """Word budgets past the VMEM limit take the HBM-output mode
+    (staged window DMAs) - the path 4K+ encodes use on hardware.  A
+    small stream against a >2.6M-word budget flips the mode; words up
+    to total_bits must be identical to the XLA path."""
+    Cc, B, H, W = 3, 1, 64, 64
+    imgs = np.stack([make_test_image(rng, H, W, Cc, "mixed")])
+    codes, sizes, base, pv, pn = _one_pass_inputs(imgs, Cc)
+    num_words = 2_700_000  # rows*512 > _DEP_VMEM_BYTES => hbm mode
+
+    desc, tbl, *_ = build_desc(
+        jnp.asarray(imgs), jnp.asarray(codes), jnp.asarray(sizes),
+        jnp.asarray(pv), jnp.asarray(pn), num_chans=Cc,
+        cost_check=False)
+    vals, nbits, ts = materialize_units(
+        desc, jnp.asarray(codes), jnp.asarray(sizes))
+    offsets = exclusive_offsets(nbits, jnp.asarray(base))
+    want_total = np.asarray(offsets[:, -1] + nbits[:, -1])
+    nw = (int(want_total[0]) + 31) // 32
+    want_words = np.asarray(scatter_bits(vals, nbits, offsets, nw))
+
+    got_words, got_total, _ = encode_bits_fused(
+        desc, tbl, jnp.asarray(base), num_words, interpret=True)
+    assert np.array_equal(np.asarray(got_total), want_total)
+    assert np.array_equal(np.asarray(got_words)[0, :nw], want_words[0])
+
+
 def test_demote_kernel_matches_xla(rng):
     B, H, W = 3, 24, 33
     imgs = np.stack([make_test_image(rng, H, W, 4, k)

@@ -57,7 +57,12 @@ print(f"deposit   : {t*1e3:7.1f}ms  N={meta.shape[1]}")
 
 sweep = os.environ.get("FPNG_TPU_DEP_SWEEP", "")
 geoms = ((2048, 1152), (4096, 2176), (8192, 4224), (16384, 8448)) \
-    if sweep else ()
+    if sweep == "1" else ()
+if sweep == "2":
+    # records are ~55% live on photo corpora: the slot span of a
+    # 4096-unit group is ~1100 words, so wl can shrink below group/2
+    # (overflow degrades to extra loop windows, still correct)
+    geoms = ((4096, 1408), (4096, 1664), (8192, 2560), (8192, 3200))
 for grp, wl in geoms:
     @jax.jit
     def dep2(meta, metb, grp=grp, wl=wl):

@@ -95,6 +95,35 @@ def main():
     t = chain(finf, *wargs, zj)
     print(f"pk8 fin  : {t*1e3:7.1f}ms  (k8={k8})")
 
+    if os.environ.get("FPNG_TPU_PROF_STAGES", ""):
+        # sub-split of fin: finalize kernel / deposit / expand
+        from fpng_tpu.ops.specdec_tpu import _bpl_pad, expand_tpu
+        from fpng_tpu.ops.bitpack import scatter_packed16_tpu
+        row_stride = 1 + W * Cc
+        geom = (row_stride, H * row_stride, Cc, _bpl_pad(W * Cc))
+        NCl = ncl
+        fzf = jax.jit(functools.partial(
+            W8._finalize_records8, k8=k8, geom=geom, lpi=lpi,
+            ncg=NCl // (8 * lpi)))
+        t = chain(fzf, *wargs)
+        print(f"  finalize: {t*1e3:7.1f}ms")
+        meta7, metb7, _ = fzf(*wargs)
+        n_rec = NCl * k8
+        meta = jax.device_put(meta7.reshape(B, n_rec))
+        metb = jax.device_put(metb7.reshape(B, n_rec))
+        bpl_pad = _bpl_pad(W * Cc)
+        dep_words = (-(-H // 8) * 8) * (bpl_pad // 2)
+        depf = jax.jit(functools.partial(scatter_packed16_tpu,
+                                         num_words=dep_words))
+        t = chain(lambda m, mb: depf(m, metb=mb), meta, metb)
+        print(f"  deposit : {t*1e3:7.1f}ms  N={n_rec}/img")
+        dep = jax.device_put(depf(meta, metb=metb))
+        expf = jax.jit(functools.partial(
+            expand_tpu, h=H, w=W, c=Cc, bpl_pad=bpl_pad))
+        t = chain(lambda d: expf(jax.lax.bitcast_convert_type(d, jnp.int32)),
+                  dep)
+        print(f"  expand  : {t*1e3:7.1f}ms")
+
 
 if __name__ == "__main__":
     main()
